@@ -1,0 +1,144 @@
+"""HF checkpoint loading: safetensors -> JAX parameter pytree.
+
+The reference loads models through transformers/accelerate
+(eval.py:168-177); here we read safetensors shards directly into the
+functional parameter tree of :mod:`any4_tpu.models.llama` with no torch
+dependency on the hot path.
+"""
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from . import llama
+
+
+def _cfg_from_hf(config: dict) -> "llama.LlamaConfig":
+    return llama.LlamaConfig(
+        vocab_size=config["vocab_size"],
+        hidden_size=config["hidden_size"],
+        intermediate_size=config["intermediate_size"],
+        num_hidden_layers=config["num_hidden_layers"],
+        num_attention_heads=config["num_attention_heads"],
+        num_key_value_heads=config.get("num_key_value_heads",
+                                       config["num_attention_heads"]),
+        head_dim=config.get("head_dim"),
+        max_position_embeddings=config.get("max_position_embeddings", 4096),
+        rms_norm_eps=config.get("rms_norm_eps", 1e-5),
+        rope_theta=config.get("rope_theta", 10000.0),
+        tie_word_embeddings=config.get("tie_word_embeddings", False),
+        attention_bias=config.get("attention_bias", False),
+    )
+
+
+def _open_shards(model_dir: str):
+    from safetensors import safe_open
+    index_path = os.path.join(model_dir, "model.safetensors.index.json")
+    shards: Dict[str, str] = {}
+    if os.path.exists(index_path):
+        with open(index_path) as f:
+            index = json.load(f)
+        weight_map = index["weight_map"]
+        files = sorted(set(weight_map.values()))
+    else:
+        files = [f for f in os.listdir(model_dir)
+                 if f.endswith(".safetensors")]
+        weight_map = None
+    handles = {fn: safe_open(os.path.join(model_dir, fn), framework="np")
+               for fn in files}
+    if weight_map is None:
+        weight_map = {}
+        for fn, h in handles.items():
+            for k in h.keys():
+                weight_map[k] = fn
+
+    def get(name: str) -> np.ndarray:
+        fn = weight_map[name]
+        return handles[fn].get_tensor(name)
+
+    return get, set(weight_map)
+
+
+def load_llama(model_dir: str, dtype=jnp.bfloat16
+               ) -> Tuple["llama.LlamaConfig", Dict]:
+    """Load an HF Llama/Mistral/Qwen2-style checkpoint directory."""
+    with open(os.path.join(model_dir, "config.json")) as f:
+        hf_cfg = json.load(f)
+    cfg = _cfg_from_hf(hf_cfg)
+    get, names = _open_shards(model_dir)
+
+    def arr(name):
+        return jnp.asarray(get(name)).astype(dtype)
+
+    params: Dict = {
+        "embed_tokens": arr("model.embed_tokens.weight"),
+        "norm": arr("model.norm.weight"),
+        "layers": [],
+    }
+    for i in range(cfg.num_hidden_layers):
+        p = f"model.layers.{i}."
+        layer = {
+            "input_layernorm": arr(p + "input_layernorm.weight"),
+            "post_attention_layernorm":
+                arr(p + "post_attention_layernorm.weight"),
+            "q_proj": arr(p + "self_attn.q_proj.weight"),
+            "k_proj": arr(p + "self_attn.k_proj.weight"),
+            "v_proj": arr(p + "self_attn.v_proj.weight"),
+            "o_proj": arr(p + "self_attn.o_proj.weight"),
+            "gate_proj": arr(p + "mlp.gate_proj.weight"),
+            "up_proj": arr(p + "mlp.up_proj.weight"),
+            "down_proj": arr(p + "mlp.down_proj.weight"),
+        }
+        for biased in ("q", "k", "v", "o"):
+            bname = p + f"self_attn.{biased}_proj.bias"
+            if bname in names:  # Qwen2-style attention biases
+                layer[f"{biased}_bias"] = arr(bname)
+        params["layers"].append(layer)
+    if not cfg.tie_word_embeddings and "lm_head.weight" in names:
+        params["lm_head"] = arr("lm_head.weight")
+    return cfg, params
+
+
+def load_hf_torch_model(name_or_dir: str, dtype=jnp.bfloat16):
+    """Fallback: construct via transformers (torch CPU) and convert.
+
+    Useful for random-init test models built from a config
+    (``transformers.AutoConfig``) when no safetensors files exist locally.
+    """
+    import torch  # local import; torch is CPU-only in this image
+    from transformers import AutoModelForCausalLM
+
+    model = AutoModelForCausalLM.from_pretrained(name_or_dir,
+                                                 torch_dtype=torch.float32)
+    sd = model.state_dict()
+    cfg = _cfg_from_hf(model.config.to_dict())
+
+    def arr(name):
+        return jnp.asarray(sd[name].numpy()).astype(dtype)
+
+    params: Dict = {
+        "embed_tokens": arr("model.embed_tokens.weight"),
+        "norm": arr("model.norm.weight"),
+        "layers": [],
+    }
+    for i in range(cfg.num_hidden_layers):
+        p = f"model.layers.{i}."
+        params["layers"].append({
+            "input_layernorm": arr(p + "input_layernorm.weight"),
+            "post_attention_layernorm":
+                arr(p + "post_attention_layernorm.weight"),
+            "q_proj": arr(p + "self_attn.q_proj.weight"),
+            "k_proj": arr(p + "self_attn.k_proj.weight"),
+            "v_proj": arr(p + "self_attn.v_proj.weight"),
+            "o_proj": arr(p + "self_attn.o_proj.weight"),
+            "gate_proj": arr(p + "mlp.gate_proj.weight"),
+            "up_proj": arr(p + "mlp.up_proj.weight"),
+            "down_proj": arr(p + "mlp.down_proj.weight"),
+        })
+    if "lm_head.weight" in sd and not cfg.tie_word_embeddings:
+        params["lm_head"] = arr("lm_head.weight")
+    return cfg, params

@@ -1,0 +1,176 @@
+"""Quantized tensor container and the `linear` dispatch API.
+
+The reference wraps packed weights in nn.Module subclasses
+(Int4Linear/Int8Linear/Any4Linear, modules.py:12-230) that dispatch on a
+kernel-name string. TPU-natively, a quantized weight is a *pytree leaf
+bundle* (:class:`QuantizedTensor`) carried inside the model's parameter tree,
+and :func:`linear` is a functional op that dispatches between the fused
+Pallas GEMV kernel (decode, small m) and dequantize-then-XLA-matmul
+(prefill, large m), the analog of the reference's m<=16 kernel validity rule
+(tinygemm_lib/functional.py:10-18).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field, replace
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from . import packing, quant
+from .formats import get_table
+from .pallas import gemv
+
+# formats whose packed codes are 4-bit planar words
+_NIBBLE_FMTS = ("int4", "any4", "nf4", "fp4", "mx4")
+# m threshold below which the fused GEMV kernel is used
+FUSED_M_MAX = 32
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class QuantizedTensor:
+    """A quantized 2-D weight ``[n, k]`` in TPU packed layout.
+
+    Fields (all device arrays):
+      packed: ``[n, kp/8] int32`` planar nibbles (4-bit fmts) or
+              ``[n, kp] int8`` (int8).
+      scales: ``[kp/g, n] f32`` transposed group scales, matching the
+              reference's scales_and_zeros layout (tinygemm_lib/
+              utils.py:53-65) and the kernel's block tiling (for mx4 these
+              are the decoded e8m0 scales)
+      zeros:  ``[kp/g, n] f32`` zeros of the affine reconstruction (0 for
+              absmax formats)
+      lut:    ``[n, 16]`` centered per-row LUT (any4), ``[1, 16]`` global
+              table (nf4/fp4/mx4), or None (int4/int8). Reconstruction is
+              ``lut[code] * scale + zero`` -- for any4 the stored LUT is
+              pre-centered (``lut - 8``), matching the reference module
+              convention (quantize.py:893).
+    """
+    packed: jax.Array
+    scales: jax.Array
+    zeros: jax.Array
+    lut: Optional[jax.Array]
+    fmt: str = field(metadata=dict(static=True), default="int4")
+    group_size: int = field(metadata=dict(static=True), default=128)
+    shape: tuple = field(metadata=dict(static=True), default=())
+    dtype: jnp.dtype = field(metadata=dict(static=True), default=jnp.bfloat16)
+
+    def tree_flatten(self):
+        children = (self.packed, self.scales, self.zeros, self.lut)
+        aux = (self.fmt, self.group_size, self.shape, self.dtype)
+        return children, aux
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        packed, scales, zeros, lut = children
+        fmt, group_size, shape, dtype = aux
+        return cls(packed, scales, zeros, lut, fmt, group_size, shape, dtype)
+
+    @property
+    def nbytes(self) -> int:
+        tot = sum(int(a.size) * a.dtype.itemsize
+                  for a in (self.packed, self.scales, self.zeros)
+                  if a is not None)
+        if self.lut is not None:
+            tot += int(self.lut.size) * self.lut.dtype.itemsize
+        return tot
+
+
+def quantize_tensor(w: jax.Array, fmt: str = "any4", group_size: int = 128,
+                    **kwargs) -> QuantizedTensor:
+    """Quantize a 2-D weight ``[n, k]`` into TPU packed layout.
+
+    ``kwargs`` are forwarded to the any4 learner for ``fmt="any4"``
+    (sample_weight, init, keep_outliers, ...).
+    """
+    from ..quant import anyq  # local import to avoid cycle
+
+    n, k = w.shape
+    if group_size <= 0:
+        group_size = k
+    if fmt == "int4":
+        codes, scales, zeros = quant.group_quantize(w, 4, group_size)
+        packed = packing.pack_int4(codes)
+        lut = None
+    elif fmt == "any4":
+        codes, lut01, scales, zeros = anyq.any4_quantize(
+            w, n_bit=4, group_size=group_size, **kwargs)
+        packed = packing.pack_int4(codes)
+        lut = (lut01 - 8.0).astype(jnp.float32)  # centered storage
+    elif fmt in ("nf4", "fp4"):
+        codes, scales = quant.lut_quantize(w, fmt, group_size)
+        packed = packing.pack_int4(codes)
+        zeros = jnp.zeros_like(scales)
+        lut = jnp.asarray(get_table(fmt))[None, :]
+    elif fmt == "mx4":
+        codes, exps = quant.mx4_quantize(w, group_size)
+        packed = packing.pack_int4(codes)
+        scales = quant.mx4_scales(exps)
+        zeros = jnp.zeros_like(scales)
+        lut = jnp.asarray(get_table("mx4"))[None, :]
+    elif fmt == "int8":
+        q, scales, zeros = quant.int8_quantize(w, group_size)
+        packed = packing.pack_int8(q)
+        lut = None
+    else:
+        raise ValueError(f"unsupported fmt {fmt!r}")
+    scales, zeros = packing.pad_group_arrays(scales, zeros, k, group_size)
+    return QuantizedTensor(packed, scales.T.astype(jnp.float32),
+                           zeros.T.astype(jnp.float32), lut, fmt, group_size,
+                           (n, k), w.dtype)
+
+
+def dequantize_tensor(qt: QuantizedTensor, dtype=None) -> jax.Array:
+    """Reconstruct the dense weight ``[n, k]`` (debug path + prefill path;
+    the analog of tinygemm's `tinygemm_dequant_int4`,
+    TinyGemmDequantize.cu:19-58)."""
+    n, k = qt.shape
+    dtype = dtype or qt.dtype
+    kp = qt.packed.shape[1] * (8 if qt.fmt in _NIBBLE_FMTS else 1)
+    g = qt.group_size
+    if qt.fmt == "int8":
+        q = qt.packed.astype(jnp.float32)
+    else:
+        codes = packing.unpack_int4(qt.packed, kp).astype(jnp.int32)
+        if qt.fmt == "int4":
+            q = (codes - 8).astype(jnp.float32)
+        elif qt.fmt == "any4":
+            q = jnp.take_along_axis(qt.lut.astype(jnp.float32), codes, axis=1)
+        else:  # global table
+            q = qt.lut[0].astype(jnp.float32)[codes]
+    scales = jnp.repeat(qt.scales.T, g, axis=1)[:, :kp]
+    zeros = jnp.repeat(qt.zeros.T, g, axis=1)[:, :kp]
+    w = q * scales + zeros
+    return w[:, :k].astype(dtype)
+
+
+def _kernel_fmt(fmt: str) -> str:
+    if fmt in ("nf4", "fp4", "mx4"):
+        return "lut4"
+    return fmt
+
+
+def linear(x: jax.Array, w, bias: Optional[jax.Array] = None, *,
+           block_n: int = gemv.DEFAULT_BLOCK_N, use_gather: bool = True,
+           fused_m_max: int = FUSED_M_MAX,
+           interpret: bool = False) -> jax.Array:
+    """``y = x @ W^T + bias`` where ``w`` is dense or a QuantizedTensor."""
+    if not isinstance(w, QuantizedTensor):
+        y = jnp.einsum("...k,nk->...n", x, w.astype(x.dtype))
+    else:
+        m = 1
+        for d in x.shape[:-1]:
+            m *= d
+        if m <= fused_m_max:
+            y = gemv.quantized_matmul(
+                x, w.packed, w.scales, w.zeros, w.lut,
+                fmt=_kernel_fmt(w.fmt), group_size=w.group_size,
+                n=w.shape[0], block_n=block_n, out_dtype=x.dtype,
+                use_gather=use_gather, interpret=interpret)
+        else:
+            wd = dequantize_tensor(w, dtype=x.dtype)
+            y = jnp.einsum("...k,nk->...n", x, wd)
+    if bias is not None:
+        y = y + bias.astype(y.dtype)
+    return y

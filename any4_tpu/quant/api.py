@@ -1,0 +1,168 @@
+"""Model quantization driver: a functional pytree transform.
+
+The reference walks ``model.named_modules()``, swapping each ``nn.Linear``
+for a quantized module in place (quantize.py:32-85), with the lm_head
+skipped by default (quantize.py:36) and optional per-layer online
+calibration. TPU-natively, a "model" is a parameter pytree; quantization maps
+every targeted 2-D weight leaf to a
+:class:`~any4_tpu.ops.linear.QuantizedTensor` (real quantization) or to its
+dequantized reconstruction (pseudo-quantization, the accuracy-evaluation
+path), leaving the forward function unchanged -- `ops.linear.linear`
+dispatches on leaf type.
+
+The ``quant_methods`` registry mirrors the reference's
+(quantize.py:1015-1023): int4 / int8 / intq / any4 / anyq / nf4 / fp4, plus
+TPU-native mx4.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Optional, Sequence, Union
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import linear as lin
+
+# parameter-tree keys that are linear weights in our model families
+DEFAULT_LINEAR_KEYS = (
+    "q_proj", "k_proj", "v_proj", "o_proj",
+    "gate_proj", "up_proj", "down_proj",
+    "fc1", "fc2", "out_proj", "lm_head",
+    "w1", "w2", "w3", "wq", "wk", "wv", "wo",
+)
+DEFAULT_SKIP = ("lm_head",)  # reference skips the LM head by default
+
+
+def _walk(tree: Any, prefix: str = ""):
+    """Yield (name, leaf, setter) triples over nested dict/list pytrees."""
+    if isinstance(tree, dict):
+        for k in tree:
+            name = f"{prefix}.{k}" if prefix else str(k)
+            yield from _walk_child(tree, k, name)
+    elif isinstance(tree, (list, tuple)):
+        for i in range(len(tree)):
+            name = f"{prefix}.{i}" if prefix else str(i)
+            yield from _walk_child(tree, i, name)
+
+
+def _walk_child(parent, key, name):
+    child = parent[key]
+    if isinstance(child, (dict, list)):
+        yield from _walk(child, name)
+    else:
+        def setter(value, parent=parent, key=key):
+            parent[key] = value
+        yield name, child, setter
+
+
+def _copy_tree(tree):
+    if isinstance(tree, dict):
+        return {k: _copy_tree(v) for k, v in tree.items()}
+    if isinstance(tree, list):
+        return [_copy_tree(v) for v in tree]
+    if isinstance(tree, tuple):
+        return tuple(_copy_tree(v) for v in tree)
+    return tree
+
+
+def default_layer_filter(name: str, leaf: Any) -> bool:
+    if not isinstance(leaf, jax.Array) or leaf.ndim != 2:
+        return False
+    last = name.split(".")[-1]
+    return last in DEFAULT_LINEAR_KEYS
+
+
+def quantize_model(
+    params: Dict,
+    fmt: str = "any4",
+    group_size: int = 128,
+    skip_modules: Union[str, Sequence[str]] = DEFAULT_SKIP,
+    layer_filter: Callable[[str, Any], bool] = default_layer_filter,
+    pseudo: bool = False,
+    sample_weight: Union[None, Dict, Callable, jax.Array] = None,
+    calibrate_fn: Optional[Callable] = None,
+    progress: bool = False,
+    **kwargs,
+) -> Dict:
+    """Quantize every targeted linear weight in a parameter pytree.
+
+    - ``skip_modules``: leaf names (final path component or full dotted path)
+      to leave dense; defaults to the LM head (reference quantize.py:36).
+    - ``pseudo``: fake-quantization -- store the dequantized reconstruction
+      as a dense array (reference ``pseudo=True`` path, quantize.py:838-870).
+    - ``sample_weight``: a dict ``{layer_name: [k] activations}``, a single
+      ``[k]`` array, or a callable ``f(name) -> [k]`` (the online-calibration
+      hook; reference quantize.py:56-63 re-calibrates per layer with
+      ``seed=index``).
+    - extra kwargs flow to :func:`any4_tpu.ops.linear.quantize_tensor` (and
+      onwards to the any4 learner: init, keep_outliers,
+      scale_sample_weight, ...).
+    """
+    if isinstance(skip_modules, str):
+        skip_modules = [s.strip() for s in skip_modules.split(",")]
+    out = _copy_tree(params)
+    targets = [(n, l, s) for n, l, s in _walk(out) if layer_filter(n, l)
+               and n.split(".")[-1] not in skip_modules
+               and n not in skip_modules]
+    for index, (name, leaf, setter) in enumerate(targets):
+        kw = dict(kwargs)
+        sw = sample_weight
+        if calibrate_fn is not None:
+            sw = calibrate_fn(layers=[name], seed=index)
+        if isinstance(sw, dict):
+            sw = sw.get(name)
+        elif callable(sw):
+            sw = sw(name)
+        if sw is not None:
+            kw["sample_weight"] = jnp.asarray(sw)
+        if fmt not in ("any4", "anyq"):
+            # sample weights / kmeans options only apply to learned formats
+            for k in ("sample_weight", "init", "keep_outliers",
+                      "scale_sample_weight", "abs_weight_sample_weight",
+                      "bias_pow", "kmeans_iters", "seed", "per_row",
+                      "surrogate_cluster"):
+                kw.pop(k, None)
+        else:
+            kw.setdefault("seed", index)
+        f = "any4" if fmt == "anyq" else ("int4" if fmt == "intq" else fmt)
+        qt = lin.quantize_tensor(leaf, f, group_size, **kw)
+        if progress:
+            print(f"  quantized {name} {leaf.shape} -> {fmt}")
+        if pseudo:
+            setter(lin.dequantize_tensor(qt, dtype=leaf.dtype))
+        else:
+            setter(qt)
+    return out
+
+
+def dequantize_model(params: Dict) -> Dict:
+    """Replace every QuantizedTensor leaf with its dense reconstruction."""
+    out = _copy_tree(params)
+    for name, leaf, setter in _walk(out):
+        if isinstance(leaf, lin.QuantizedTensor):
+            setter(lin.dequantize_tensor(leaf))
+    return out
+
+
+def model_size_bytes(params: Dict) -> int:
+    total = 0
+    for leaf in jax.tree_util.tree_leaves(
+            params, is_leaf=lambda x: isinstance(x, lin.QuantizedTensor)):
+        if isinstance(leaf, lin.QuantizedTensor):
+            total += leaf.nbytes
+        elif isinstance(leaf, jax.Array):
+            total += leaf.size * leaf.dtype.itemsize
+    return total
+
+
+quant_methods = {
+    "int4": functools.partial(quantize_model, fmt="int4"),
+    "int8": functools.partial(quantize_model, fmt="int8"),
+    "intq": functools.partial(quantize_model, fmt="intq"),
+    "any4": functools.partial(quantize_model, fmt="any4"),
+    "anyq": functools.partial(quantize_model, fmt="anyq"),
+    "nf4": functools.partial(quantize_model, fmt="nf4"),
+    "fp4": functools.partial(quantize_model, fmt="fp4"),
+    "mx4": functools.partial(quantize_model, fmt="mx4", group_size=32),
+}

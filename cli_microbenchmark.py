@@ -1,0 +1,75 @@
+#!/usr/bin/env python
+"""Layer microbenchmark CLI (reference microbenchmark.py equivalent):
+times a single quantized linear against the bf16 baseline.
+
+  python cli_microbenchmark.py --input-dim 4096 --output-dim 4096 \\
+      --quantize any4 --batch 1
+"""
+import argparse
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def window(f, args, iters):
+    t0 = time.perf_counter()
+    r = None
+    for _ in range(iters):
+        r = f(*args)
+    jax.block_until_ready(r)
+    return (time.perf_counter() - t0) / iters
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--input-dim", type=int, default=4096)
+    p.add_argument("--output-dim", type=int, default=4096)
+    p.add_argument("--batch", type=int, default=1)
+    p.add_argument("--quantize", default="any4",
+                   choices=["int4", "int8", "any4", "nf4", "fp4", "mx4"])
+    p.add_argument("--group-size", type=int, default=128)
+    p.add_argument("--rounds", type=int, default=12)
+    p.add_argument("--iters", type=int, default=20)
+    args = p.parse_args(argv)
+
+    from any4_tpu.ops import linear as lin
+    from any4_tpu.ops.pallas import gemv
+
+    K, N, M = args.input_dim, args.output_dim, args.batch
+    g = 32 if args.quantize == "mx4" else args.group_size
+    w = jax.random.normal(jax.random.PRNGKey(0), (N, K), jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(1), (M, K)).astype(jnp.bfloat16)
+    wb = w.astype(jnp.bfloat16)
+    kw = dict(kmeans_iters=8) if args.quantize == "any4" else {}
+    qt = lin.quantize_tensor(w, args.quantize, g, **kw)
+    kfmt = lin._kernel_fmt(qt.fmt)
+
+    f_b = jax.jit(lambda a, b: a @ b.T)
+    f_q = jax.jit(lambda a, p_, s, z, l, kf=kfmt:
+                  gemv.quantized_matmul(a, p_, s, z, l, fmt=kf,
+                                        group_size=g, n=N))
+    qargs = (x, qt.packed, qt.scales, qt.zeros, qt.lut)
+    jax.block_until_ready(f_b(x, wb))
+    jax.block_until_ready(f_q(*qargs))
+    tb = tq = float("inf")
+    for _ in range(args.rounds):
+        tb = min(tb, window(f_b, (x, wb), args.iters))
+        tq = min(tq, window(f_q, qargs, args.iters))
+    out = {
+        "fmt": args.quantize, "m": M, "k": K, "n": N,
+        "bf16_us": round(tb * 1e6, 1),
+        "quant_us": round(tq * 1e6, 1),
+        "speedup": round(tb / tq, 3),
+        "weight_bytes": qt.nbytes,
+        "weight_gbps": round(qt.nbytes / tq / 1e9, 1),
+    }
+    print(json.dumps(out))
+    return out
+
+
+if __name__ == "__main__":
+    main()

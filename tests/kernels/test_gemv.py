@@ -1,0 +1,244 @@
+"""Fused dequant-GEMV kernel tests, run in Pallas interpret mode on CPU.
+
+Mirrors the reference's kernel test strategy (tests/tinygemm/):
+- ``test_identity_mul``: W = I must reproduce the input exactly
+  (test_tinygemm_any4.py:117-139);
+- ``test_general_k``: k sweep exercising block-remainder/padding paths
+  (test_tinygemm_any4.py:141-163);
+- ``test_general_mul``: random weights, checked against the pure-jnp
+  dequantize reference (the "fake backend");
+- any4 tests negate the LUT to prove the LUT path is actually exercised
+  (test_tinygemm_any4.py:24-26).
+
+Set ANY4_TPU_TEST_PLATFORM=tpu to run compiled on hardware.
+"""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from any4_tpu.ops import linear as lin
+from any4_tpu.ops import packing, quant
+from any4_tpu.ops.pallas import gemv
+
+INTERPRET = os.environ.get("ANY4_TPU_TEST_PLATFORM", "cpu") == "cpu"
+FMTS = ["int4", "any4", "nf4", "fp4", "mx4", "int8"]
+
+
+def _mm(x, qt, out_dtype=jnp.float32, **kw):
+    return gemv.quantized_matmul(
+        x, qt.packed, qt.scales, qt.zeros, qt.lut,
+        fmt=lin._kernel_fmt(qt.fmt), group_size=qt.group_size,
+        n=qt.shape[0], interpret=INTERPRET, out_dtype=out_dtype, **kw)
+
+
+def _ref(x, qt):
+    wd = lin.dequantize_tensor(qt, dtype=jnp.float32)
+    return np.asarray(x, np.float32) @ np.asarray(wd).T
+
+
+def _assert_close(y, ref, tol=2e-2):
+    """Error bounded relative to the output magnitude (the kernel computes
+    in bf16 like the reference's tensor-core path, so per-element rtol is
+    meaningless for near-zero outputs; reference tests use absolute bounds,
+    e.g. test_tinygemm_any4.py avg-error 1e-1)."""
+    y = np.asarray(y, np.float32)
+    ref = np.asarray(ref, np.float32)
+    scale = max(float(np.abs(ref).max()), 1.0)
+    np.testing.assert_allclose(y / scale, ref / scale, atol=tol, rtol=0)
+
+
+class TestIdentityMul:
+    @pytest.mark.parametrize("fmt", ["int4", "any4", "int8"])
+    def test_identity(self, fmt):
+        k = 1024
+        w = jnp.eye(k, dtype=jnp.float32)
+        qt = lin.quantize_tensor(w, fmt, group_size=128, kmeans_iters=25) \
+            if fmt == "any4" else lin.quantize_tensor(w, fmt, group_size=128)
+        # the kernel computes in bf16 (like the reference's bf16 tensor-core
+        # path); identity reproduces the input up to one absolute residue of
+        # ~1e-6 from the scale-hoisted f32 cancellation (the reference gets
+        # torch.equal because it rounds W to bf16 *before* the mma; our
+        # post-dot scale application leaves an O(ulp(sum|x|)) residue)
+        x = jax.random.normal(jax.random.PRNGKey(0), (4, k),
+                              jnp.float32).astype(jnp.bfloat16)
+        y = _mm(x, qt, out_dtype=jnp.bfloat16)
+        np.testing.assert_allclose(
+            np.asarray(y.astype(jnp.float32)),
+            np.asarray(x.astype(jnp.float32)), rtol=0, atol=4e-6)
+
+
+class TestGeneralK:
+    @pytest.mark.parametrize("k", [1024, 2048, 1536, 2500])
+    def test_k_sweep_int4(self, k):
+        w = jax.random.normal(jax.random.PRNGKey(1), (128, k))
+        # group must divide k for the quantizer; pad-to-1024 happens inside
+        g = 128 if k % 128 == 0 else 4
+        qt = lin.quantize_tensor(w, "int4", group_size=g)
+        x = jax.random.normal(jax.random.PRNGKey(2), (2, k))
+        y = _mm(x, qt)
+        _assert_close(y, _ref(x, qt))
+
+    @pytest.mark.parametrize("m", [1, 3, 16, 33])
+    def test_m_sweep(self, m):
+        k, n = 1024, 256
+        w = jax.random.normal(jax.random.PRNGKey(3), (n, k))
+        qt = lin.quantize_tensor(w, "int4", group_size=128)
+        x = jax.random.normal(jax.random.PRNGKey(4), (m, k))
+        y = _mm(x, qt)
+        assert y.shape == (m, n)
+        _assert_close(y, _ref(x, qt))
+
+    @pytest.mark.parametrize("n", [128, 384, 1000])
+    def test_n_padding(self, n):
+        k = 1024
+        w = jax.random.normal(jax.random.PRNGKey(5), (n, k))
+        qt = lin.quantize_tensor(w, "int4", group_size=128)
+        x = jax.random.normal(jax.random.PRNGKey(6), (2, k))
+        y = _mm(x, qt)
+        assert y.shape == (2, n)
+        _assert_close(y, _ref(x, qt))
+
+
+class TestGeneralMul:
+    @pytest.mark.parametrize("fmt", FMTS)
+    @pytest.mark.parametrize("g", [64, 128, 256])
+    def test_matches_dequant_reference(self, fmt, g):
+        if fmt == "mx4" and g != 64:
+            pytest.skip("mx4 uses its natural group sizes")
+        n, k = 256, 2048
+        w = jax.random.normal(jax.random.PRNGKey(7), (n, k))
+        kw = dict(kmeans_iters=10) if fmt == "any4" else {}
+        qt = lin.quantize_tensor(w, fmt, group_size=g, **kw)
+        x = jax.random.normal(jax.random.PRNGKey(8), (4, k))
+        y = _mm(x, qt)
+        ref = _ref(x, qt)
+        _assert_close(y, ref)
+
+    @pytest.mark.parametrize("g", [32, 64])
+    def test_small_groups(self, g):
+        n, k = 128, 1024
+        w = jax.random.normal(jax.random.PRNGKey(9), (n, k))
+        qt = lin.quantize_tensor(w, "int4", group_size=g)
+        x = jax.random.normal(jax.random.PRNGKey(10), (2, k))
+        y = _mm(x, qt)
+        _assert_close(y, _ref(x, qt))
+
+    def test_binary_weights_exact(self):
+        # W in {0,1}: int4 grouping is exact, so the kernel must match the
+        # f32 matmul to float tolerance (reference test_general_mul)
+        n, k = 256, 2048
+        w = jax.random.bernoulli(jax.random.PRNGKey(11), 0.5,
+                                 (n, k)).astype(jnp.float32)
+        qt = lin.quantize_tensor(w, "int4", group_size=128)
+        x = jax.random.normal(jax.random.PRNGKey(12), (4, k))
+        y = _mm(x, qt)
+        # products with {0,1} weights are exact; compare at the kernel's
+        # bf16 input rounding
+        xb = np.asarray(x.astype(jnp.bfloat16).astype(jnp.float32))
+        ref = xb @ np.asarray(w).T
+        np.testing.assert_allclose(np.asarray(y), ref, rtol=1e-4, atol=1e-3)
+
+
+class TestAny4LutIsUsed:
+    def test_negated_lut_negates_output(self):
+        """Negating LUT and zeros must negate the result -- proving the LUT
+        path is used, not the uniform int4 fast path (reference
+        test_tinygemm_any4.py:24-26,50-52)."""
+        n, k = 128, 1024
+        w = jax.random.normal(jax.random.PRNGKey(13), (n, k))
+        qt = lin.quantize_tensor(w, "any4", group_size=128, kmeans_iters=10)
+        x = jax.random.normal(jax.random.PRNGKey(14), (2, k))
+        y = _mm(x, qt)
+        from dataclasses import replace
+        qt2 = replace(qt, lut=-qt.lut, zeros=-qt.zeros)
+        y2 = _mm(x, qt2)
+        np.testing.assert_allclose(np.asarray(y2), -np.asarray(y),
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_per_row_luts_differ(self):
+        # two rows with identical codes/scales but different LUTs must give
+        # different outputs
+        n, k, g = 128, 1024, 128
+        codes = jax.random.randint(jax.random.PRNGKey(15), (n, k), 0, 16)
+        packed = packing.pack_int4(codes.astype(jnp.uint8))
+        scales = jnp.ones((k // g, n))   # transposed [k/g, n] layout
+        zeros = jnp.zeros((k // g, n))
+        lut_a = jnp.tile(jnp.linspace(-1, 1, 16)[None], (n, 1))
+        lut_b = lut_a * jnp.arange(1, n + 1, dtype=jnp.float32)[:, None]
+        x = jax.random.normal(jax.random.PRNGKey(16), (1, k))
+        ya = gemv.quantized_matmul(x, packed, scales, zeros, lut_a,
+                                   fmt="any4", group_size=g, n=n,
+                                   interpret=INTERPRET,
+                                   out_dtype=jnp.float32)
+        yb = gemv.quantized_matmul(x, packed, scales, zeros, lut_b,
+                                   fmt="any4", group_size=g, n=n,
+                                   interpret=INTERPRET,
+                                   out_dtype=jnp.float32)
+        # bf16 rounding of LUT values inside the kernel: ~0.4% relative,
+        # compared at the common (divided-out) magnitude
+        _assert_close(np.asarray(yb)[0] / np.arange(1, n + 1),
+                      np.asarray(ya)[0], tol=1e-2)
+
+
+class TestLinearDispatch:
+    def test_linear_fused_vs_dequant_consistent(self):
+        n, k = 256, 1024
+        w = jax.random.normal(jax.random.PRNGKey(17), (n, k))
+        qt = lin.quantize_tensor(w, "int4", group_size=128)
+        x = jax.random.normal(jax.random.PRNGKey(18), (2, k))
+        y_fused = lin.linear(x, qt, interpret=INTERPRET)
+        y_deq = lin.linear(x, qt, fused_m_max=0)
+        _assert_close(np.asarray(y_fused, np.float32),
+                      np.asarray(y_deq, np.float32))
+
+    def test_bias_and_batch_dims(self):
+        n, k = 128, 1024
+        w = jax.random.normal(jax.random.PRNGKey(19), (n, k))
+        qt = lin.quantize_tensor(w, "int4", group_size=128)
+        bias = jax.random.normal(jax.random.PRNGKey(20), (n,))
+        x = jax.random.normal(jax.random.PRNGKey(21), (2, 3, k))
+        y = lin.linear(x, qt, bias=bias, interpret=INTERPRET)
+        assert y.shape == (2, 3, n)
+        ref = _ref(x.reshape(-1, k), qt).reshape(2, 3, n) + np.asarray(bias)
+        _assert_close(np.asarray(y, np.float32), ref)
+
+    def test_dense_weight_passthrough(self):
+        w = jax.random.normal(jax.random.PRNGKey(22), (64, 128))
+        x = jax.random.normal(jax.random.PRNGKey(23), (2, 128))
+        y = lin.linear(x, w)
+        np.testing.assert_allclose(np.asarray(y),
+                                   np.asarray(x) @ np.asarray(w).T,
+                                   rtol=1e-4, atol=1e-5)
+
+
+class TestQuantizedTensor:
+    def test_pytree_roundtrip(self):
+        w = jax.random.normal(jax.random.PRNGKey(24), (64, 1024))
+        qt = lin.quantize_tensor(w, "int4", group_size=128)
+        leaves, treedef = jax.tree_util.tree_flatten(qt)
+        qt2 = jax.tree_util.tree_unflatten(treedef, leaves)
+        assert qt2.fmt == "int4" and qt2.shape == (64, 1024)
+        np.testing.assert_array_equal(np.asarray(qt2.packed),
+                                      np.asarray(qt.packed))
+
+    @pytest.mark.parametrize("fmt", FMTS)
+    def test_compression_ratio(self, fmt):
+        n, k = 256, 4096
+        w = jax.random.normal(jax.random.PRNGKey(25), (n, k))
+        kw = dict(kmeans_iters=2) if fmt == "any4" else {}
+        g = 32 if fmt == "mx4" else 128
+        qt = lin.quantize_tensor(w, fmt, group_size=g, **kw)
+        dense_bytes = n * k * 2
+        assert qt.nbytes < dense_bytes * (0.45 if "8" not in fmt else 0.85)
+
+    def test_dequantize_matches_pure_math(self):
+        w = jax.random.normal(jax.random.PRNGKey(26), (64, 2048))
+        qt = lin.quantize_tensor(w, "int4", group_size=128)
+        codes, scales, zeros = quant.group_quantize(w, 4, 128)
+        expect = quant.group_dequantize(codes, scales, zeros, 4, 128)
+        got = lin.dequantize_tensor(qt, dtype=jnp.float32)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(expect),
+                                   rtol=1e-5, atol=1e-5)

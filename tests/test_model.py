@@ -1,0 +1,150 @@
+"""Model-layer tests: functional Llama forward, decode/prefill consistency,
+generation, quantized forward, checkpoints."""
+import os
+import tempfile
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from any4_tpu.models import checkpoint, generate, llama
+from any4_tpu.ops import linear as lin
+from any4_tpu.quant import api
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    cfg = llama.LlamaConfig.tiny(vocab=256, layers=2)
+    params = llama.init_params(cfg, jax.random.PRNGKey(0))
+    return cfg, params
+
+
+class TestForward:
+    def test_shapes_and_dtype(self, tiny):
+        cfg, params = tiny
+        ids = jax.random.randint(jax.random.PRNGKey(1), (2, 8), 0,
+                                 cfg.vocab_size)
+        logits, caches = llama.forward(params, cfg, ids)
+        assert logits.shape == (2, 8, cfg.vocab_size)
+        assert caches is None
+
+    def test_causality(self, tiny):
+        # changing a later token must not affect earlier logits
+        cfg, params = tiny
+        ids = jax.random.randint(jax.random.PRNGKey(2), (1, 8), 0,
+                                 cfg.vocab_size)
+        ids2 = ids.at[0, -1].set((ids[0, -1] + 1) % cfg.vocab_size)
+        l1, _ = llama.forward(params, cfg, ids)
+        l2, _ = llama.forward(params, cfg, ids2)
+        np.testing.assert_allclose(np.asarray(l1[:, :-1], np.float32),
+                                   np.asarray(l2[:, :-1], np.float32),
+                                   atol=1e-5)
+        assert not np.allclose(np.asarray(l1[:, -1], np.float32),
+                               np.asarray(l2[:, -1], np.float32))
+
+    def test_decode_matches_prefill(self, tiny):
+        # running tokens one-by-one through the KV cache must reproduce the
+        # full-sequence logits
+        cfg, params = tiny
+        t = 6
+        ids = jax.random.randint(jax.random.PRNGKey(3), (1, t), 0,
+                                 cfg.vocab_size)
+        full, _ = llama.forward(params, cfg, ids)
+
+        caches = llama.init_kv_caches(cfg, 1, t)
+        logits0, caches = generate.prefill(params, cfg, ids[:, :1], caches)
+        step_logits = [logits0]
+        for i in range(1, t):
+            li, caches = generate.decode_step(
+                params, cfg, ids[:, i], jnp.int32(i), caches)
+            step_logits.append(li)
+        stepped = jnp.stack(step_logits, axis=1)
+        np.testing.assert_allclose(np.asarray(stepped, np.float32),
+                                   np.asarray(full, np.float32),
+                                   atol=3e-2, rtol=3e-2)
+
+    def test_capture_names_match_params(self, tiny):
+        cfg, params = tiny
+        ids = jax.random.randint(jax.random.PRNGKey(4), (1, 8), 0,
+                                 cfg.vocab_size)
+        cap = {}
+        llama.forward(params, cfg, ids, capture=cap)
+        for i in range(cfg.num_hidden_layers):
+            for nm in ("q_proj", "k_proj", "v_proj", "o_proj", "gate_proj",
+                       "up_proj", "down_proj"):
+                assert f"layers.{i}.{nm}" in cap
+        s, c = cap["layers.0.q_proj"]
+        assert s.shape == (cfg.hidden_size,) and c == 8
+
+
+class TestGenerate:
+    def test_greedy_deterministic(self, tiny):
+        cfg, params = tiny
+        ids = jax.random.randint(jax.random.PRNGKey(5), (2, 4), 0,
+                                 cfg.vocab_size)
+        o1 = generate.generate(params, cfg, ids, max_new_tokens=5)
+        o2 = generate.generate(params, cfg, ids, max_new_tokens=5)
+        assert o1.shape == (2, 9)
+        np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2))
+
+    def test_matches_forward_argmax(self, tiny):
+        cfg, params = tiny
+        ids = jax.random.randint(jax.random.PRNGKey(6), (1, 4), 0,
+                                 cfg.vocab_size)
+        out = generate.generate(params, cfg, ids, max_new_tokens=1)
+        logits, _ = llama.forward(params, cfg, ids)
+        expect = int(jnp.argmax(logits[0, -1]))
+        assert int(out[0, -1]) == expect
+
+
+class TestQuantizedForward:
+    @pytest.mark.parametrize("fmt", ["int4", "int8"])
+    def test_quantized_logits_close(self, tiny, fmt):
+        cfg, params = tiny
+        ids = jax.random.randint(jax.random.PRNGKey(7), (1, 8), 0,
+                                 cfg.vocab_size)
+        base, _ = llama.forward(params, cfg, ids)
+        qp = api.quantize_model(params, fmt=fmt, group_size=32)
+        ql, _ = llama.forward(qp, cfg, ids, interpret=True)
+        base = np.asarray(base, np.float32)
+        ql = np.asarray(ql, np.float32)
+        # quantization perturbs logits but argmax should mostly agree and
+        # magnitudes stay sane
+        assert np.isfinite(ql).all()
+        agree = (base.argmax(-1) == ql.argmax(-1)).mean()
+        assert agree >= 0.5
+
+    def test_pseudo_matches_real_dequant(self, tiny):
+        cfg, params = tiny
+        ids = jax.random.randint(jax.random.PRNGKey(8), (1, 8), 0,
+                                 cfg.vocab_size)
+        qp = api.quantize_model(params, fmt="int4", group_size=32)
+        pp = api.quantize_model(params, fmt="int4", group_size=32,
+                                pseudo=True)
+        lq, _ = llama.forward(api.dequantize_model(qp), cfg, ids)
+        lp, _ = llama.forward(pp, cfg, ids)
+        np.testing.assert_allclose(np.asarray(lq, np.float32),
+                                   np.asarray(lp, np.float32), atol=1e-2)
+
+
+class TestCheckpoint:
+    def test_roundtrip_quantized(self, tiny):
+        cfg, params = tiny
+        qp = api.quantize_model(params, fmt="int4", group_size=32)
+        with tempfile.TemporaryDirectory() as d:
+            checkpoint.save_params(d, qp, cfg)
+            loaded, cfg2 = checkpoint.load_params(d)
+        assert cfg2.hidden_size == cfg.hidden_size
+        qt0 = qp["layers"][0]["q_proj"]
+        qt1 = loaded["layers"][0]["q_proj"]
+        assert isinstance(qt1, lin.QuantizedTensor)
+        assert qt1.fmt == qt0.fmt and qt1.shape == qt0.shape
+        np.testing.assert_array_equal(np.asarray(qt1.packed),
+                                      np.asarray(qt0.packed))
+        ids = jax.random.randint(jax.random.PRNGKey(9), (1, 4), 0,
+                                 cfg.vocab_size)
+        l0, _ = llama.forward(qp, cfg, ids, interpret=True)
+        l1, _ = llama.forward(loaded, cfg2, ids, interpret=True)
+        np.testing.assert_allclose(np.asarray(l0, np.float32),
+                                   np.asarray(l1, np.float32), atol=1e-5)

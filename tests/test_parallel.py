@@ -1,0 +1,100 @@
+"""Tensor-parallel shard_map tests on the virtual 8-device CPU mesh."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from any4_tpu.models import llama
+from any4_tpu.parallel import tp
+from any4_tpu.quant import api
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 (virtual) devices")
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    cfg = llama.LlamaConfig(vocab_size=128, hidden_size=64,
+                            intermediate_size=128, num_hidden_layers=2,
+                            num_attention_heads=8, num_key_value_heads=4,
+                            head_dim=8, tie_word_embeddings=True,
+                            dtype=jnp.float32)
+    params = llama.init_params(cfg, jax.random.PRNGKey(0))
+    return cfg, params
+
+
+class TestTPForward:
+    def test_dense_tp_matches_single(self, tiny):
+        cfg, params = tiny
+        mesh = tp.make_mesh(dp=2, tp=4)
+        sharded, specs = tp.shard_params(params, mesh)
+        fwd = tp.make_tp_forward(cfg, mesh, specs)
+        ids = jax.random.randint(jax.random.PRNGKey(1), (4, 8), 0,
+                                 cfg.vocab_size)
+        ref, _ = llama.forward(params, cfg, ids)
+        out = fwd(sharded, ids)
+        np.testing.assert_allclose(np.asarray(out, np.float32),
+                                   np.asarray(ref, np.float32),
+                                   atol=1e-3, rtol=1e-3)
+
+    def test_quantized_tp_matches_single(self, tiny):
+        cfg, params = tiny
+        qparams = api.quantize_model(params, fmt="int4", group_size=32)
+        mesh = tp.make_mesh(dp=1, tp=8)
+        sharded, specs = tp.shard_params(qparams, mesh)
+        fwd = tp.make_tp_forward(cfg, mesh, specs)
+        ids = jax.random.randint(jax.random.PRNGKey(2), (2, 8), 0,
+                                 cfg.vocab_size)
+        ref, _ = llama.forward(qparams, cfg, ids, interpret=True)
+        out = fwd(sharded, ids)
+        np.testing.assert_allclose(np.asarray(out, np.float32),
+                                   np.asarray(ref, np.float32),
+                                   atol=5e-2, rtol=5e-2)
+
+    def test_decode_step_with_cache(self, tiny):
+        cfg, params = tiny
+        mesh = tp.make_mesh(dp=2, tp=4)
+        sharded, specs = tp.shard_params(params, mesh)
+        step = tp.make_tp_forward(cfg, mesh, specs, with_cache=True)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        batch, max_len = 4, 8
+        caches = llama.init_kv_caches(cfg, batch, max_len)
+        caches = [
+            (jax.device_put(k, NamedSharding(mesh, P("dp", None, "tp", None))),
+             jax.device_put(v, NamedSharding(mesh, P("dp", None, "tp", None))))
+            for k, v in caches]
+        token = jnp.zeros((batch,), jnp.int32)
+        logits, caches2 = step(sharded, token, jnp.int32(0), caches)
+        assert logits.shape == (batch, cfg.vocab_size)
+        # reference single-device decode
+        ref_caches = llama.init_kv_caches(cfg, batch, max_len)
+        positions = jnp.zeros((batch, 1), jnp.int32)
+        mask = llama.decode_mask(max_len, jnp.int32(0))
+        ref, _ = llama.forward(params, cfg, token[:, None],
+                               positions=positions, kv_caches=ref_caches,
+                               cache_pos=jnp.int32(0), mask=mask)
+        np.testing.assert_allclose(np.asarray(logits, np.float32),
+                                   np.asarray(ref[:, -1], np.float32),
+                                   atol=1e-3, rtol=1e-3)
+
+
+class TestSpecs:
+    def test_param_specs_structure(self, tiny):
+        cfg, params = tiny
+        qparams = api.quantize_model(params, fmt="any4", group_size=32,
+                                     kmeans_iters=2)
+        specs = tp.param_specs(qparams)
+        from jax.sharding import PartitionSpec as P
+        qspec = specs["layers"][0]["q_proj"]
+        assert qspec.packed == P("tp", None)
+        assert qspec.scales == P(None, "tp")
+        assert qspec.lut == P("tp", None)
+        ospec = specs["layers"][0]["o_proj"]
+        assert ospec.packed == P(None, "tp")
+        assert ospec.scales == P("tp", None)
+
+    def test_mesh_shapes(self):
+        mesh = tp.make_mesh(dp=2, tp=4)
+        assert mesh.shape["dp"] == 2 and mesh.shape["tp"] == 4
+        with pytest.raises(AssertionError):
+            tp.make_mesh(dp=3, tp=4)
