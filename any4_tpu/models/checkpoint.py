@@ -21,26 +21,40 @@ from ..quant.api import _copy_tree, _walk
 from . import llama
 
 
+def _to_np(a) -> tuple:
+    """numpy's npz format cannot store bf16; persist its raw bits as uint16
+    and record the true dtype."""
+    a = np.asarray(a)
+    if a.dtype == jnp.bfloat16:
+        return a.view(np.uint16), "bfloat16"
+    return a, str(a.dtype)
+
+
 def save_params(path: str, params: Dict, cfg=None):
     os.makedirs(path, exist_ok=True)
     arrays = {}
+    dtypes = {}
     qt_meta = {}
+
+    def put(name, a):
+        arrays[name], dtypes[name] = _to_np(a)
+
     for name, leaf, _ in _walk(params):
         if isinstance(leaf, QuantizedTensor):
-            arrays[f"{name}.packed"] = np.asarray(leaf.packed)
-            arrays[f"{name}.scales"] = np.asarray(leaf.scales)
-            arrays[f"{name}.zeros"] = np.asarray(leaf.zeros)
+            put(f"{name}.packed", leaf.packed)
+            put(f"{name}.scales", leaf.scales)
+            put(f"{name}.zeros", leaf.zeros)
             if leaf.lut is not None:
-                arrays[f"{name}.lut"] = np.asarray(leaf.lut)
+                put(f"{name}.lut", leaf.lut)
             qt_meta[name] = {
                 "fmt": leaf.fmt, "group_size": leaf.group_size,
                 "shape": list(leaf.shape), "dtype": str(leaf.dtype),
                 "has_lut": leaf.lut is not None,
             }
         elif leaf is not None:
-            arrays[name] = np.asarray(leaf)
+            put(name, leaf)
     np.savez(os.path.join(path, "params.npz"), **arrays)
-    meta = {"quantized": qt_meta}
+    meta = {"quantized": qt_meta, "dtypes": dtypes}
     if cfg is not None:
         meta["config"] = dataclasses.asdict(cfg)
         meta["config"]["dtype"] = str(cfg.dtype.__name__) \
@@ -50,10 +64,22 @@ def save_params(path: str, params: Dict, cfg=None):
 
 
 def load_params(path: str) -> Tuple[Dict, "llama.LlamaConfig"]:
-    data = np.load(os.path.join(path, "params.npz"))
+    raw = np.load(os.path.join(path, "params.npz"))
     with open(os.path.join(path, "meta.json")) as f:
         meta = json.load(f)
     qt_meta = meta.get("quantized", {})
+    dtypes = meta.get("dtypes", {})
+
+    class _Data:
+        files = raw.files
+
+        def __getitem__(self, name):
+            a = raw[name]
+            if dtypes.get(name) == "bfloat16":
+                a = a.view(jnp.bfloat16)
+            return a
+
+    data = _Data()
 
     # rebuild the nested structure from dotted names
     tree: Dict = {}

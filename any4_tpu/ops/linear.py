@@ -55,17 +55,23 @@ class QuantizedTensor:
     group_size: int = field(metadata=dict(static=True), default=128)
     shape: tuple = field(metadata=dict(static=True), default=())
     dtype: jnp.dtype = field(metadata=dict(static=True), default=jnp.bfloat16)
+    # number of independently-packed contiguous k-shards (row-parallel TP):
+    # each shard's k-range is padded to the pack block on its own, so array
+    # sharding along the packed axis splits at logical k boundaries
+    row_shards: int = field(metadata=dict(static=True), default=1)
 
     def tree_flatten(self):
         children = (self.packed, self.scales, self.zeros, self.lut)
-        aux = (self.fmt, self.group_size, self.shape, self.dtype)
+        aux = (self.fmt, self.group_size, self.shape, self.dtype,
+               self.row_shards)
         return children, aux
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         packed, scales, zeros, lut = children
-        fmt, group_size, shape, dtype = aux
-        return cls(packed, scales, zeros, lut, fmt, group_size, shape, dtype)
+        fmt, group_size, shape, dtype, row_shards = aux
+        return cls(packed, scales, zeros, lut, fmt, group_size, shape, dtype,
+                   row_shards)
 
     @property
     def nbytes(self) -> int:
@@ -78,11 +84,13 @@ class QuantizedTensor:
 
 
 def quantize_tensor(w: jax.Array, fmt: str = "any4", group_size: int = 128,
-                    **kwargs) -> QuantizedTensor:
+                    row_shards: int = 1, **kwargs) -> QuantizedTensor:
     """Quantize a 2-D weight ``[n, k]`` into TPU packed layout.
 
     ``kwargs`` are forwarded to the any4 learner for ``fmt="any4"``
-    (sample_weight, init, keep_outliers, ...).
+    (sample_weight, init, keep_outliers, ...). ``row_shards`` packs the k
+    axis as that many independently-padded contiguous shards (for
+    row-parallel TP; see packing.pack_int4).
     """
     from ..quant import anyq  # local import to avoid cycle
 
@@ -91,40 +99,57 @@ def quantize_tensor(w: jax.Array, fmt: str = "any4", group_size: int = 128,
         group_size = k
     if fmt == "int4":
         codes, scales, zeros = quant.group_quantize(w, 4, group_size)
-        packed = packing.pack_int4(codes)
+        packed = packing.pack_int4(codes, row_shards)
         lut = None
     elif fmt == "any4":
         codes, lut01, scales, zeros = anyq.any4_quantize(
             w, n_bit=4, group_size=group_size, **kwargs)
-        packed = packing.pack_int4(codes)
+        packed = packing.pack_int4(codes, row_shards)
         lut = (lut01 - 8.0).astype(jnp.float32)  # centered storage
     elif fmt in ("nf4", "fp4"):
         codes, scales = quant.lut_quantize(w, fmt, group_size)
-        packed = packing.pack_int4(codes)
+        packed = packing.pack_int4(codes, row_shards)
         zeros = jnp.zeros_like(scales)
         lut = jnp.asarray(get_table(fmt))[None, :]
     elif fmt == "mx4":
         codes, exps = quant.mx4_quantize(w, group_size)
-        packed = packing.pack_int4(codes)
+        packed = packing.pack_int4(codes, row_shards)
         scales = quant.mx4_scales(exps)
         zeros = jnp.zeros_like(scales)
         lut = jnp.asarray(get_table("mx4"))[None, :]
     elif fmt == "int8":
         q, scales, zeros = quant.int8_quantize(w, group_size)
-        packed = packing.pack_int8(q)
+        packed = packing.pack_int8(q, row_shards)
         lut = None
     else:
         raise ValueError(f"unsupported fmt {fmt!r}")
-    scales, zeros = packing.pad_group_arrays(scales, zeros, k, group_size)
+    scales, zeros = packing.pad_group_arrays(scales, zeros, k, group_size,
+                                             row_shards)
     return QuantizedTensor(packed, scales.T.astype(jnp.float32),
                            zeros.T.astype(jnp.float32), lut, fmt, group_size,
-                           (n, k), w.dtype)
+                           (n, k), w.dtype, row_shards)
 
 
 def dequantize_tensor(qt: QuantizedTensor, dtype=None) -> jax.Array:
     """Reconstruct the dense weight ``[n, k]`` (debug path + prefill path;
     the analog of tinygemm's `tinygemm_dequant_int4`,
     TinyGemmDequantize.cu:19-58)."""
+    from dataclasses import replace as _replace
+    if qt.row_shards > 1:
+        S = qt.row_shards
+        n, k = qt.shape
+        wordper = qt.packed.shape[1] // S
+        rowper = qt.scales.shape[0] // S
+        parts = []
+        for s_ in range(S):
+            sub = _replace(
+                qt,
+                packed=qt.packed[:, s_ * wordper:(s_ + 1) * wordper],
+                scales=qt.scales[s_ * rowper:(s_ + 1) * rowper],
+                zeros=qt.zeros[s_ * rowper:(s_ + 1) * rowper],
+                shape=(n, k // S), row_shards=1)
+            parts.append(dequantize_tensor(sub, dtype))
+        return jnp.concatenate(parts, axis=1)
     n, k = qt.shape
     dtype = dtype or qt.dtype
     kp = qt.packed.shape[1] * (8 if qt.fmt in _NIBBLE_FMTS else 1)
@@ -163,10 +188,23 @@ def linear(x: jax.Array, w, bias: Optional[jax.Array] = None, *,
         for d in x.shape[:-1]:
             m *= d
         if m <= fused_m_max:
+            xq = x
+            S = w.row_shards
+            if S > 1 and x.shape[-1] == w.shape[1]:
+                # weight packed as S independently-padded k-shards but
+                # executing unsharded: align x to the per-shard padding
+                kl = w.shape[1] // S
+                kps = packing.padded_k(kl)
+                xs = x.reshape(*x.shape[:-1], S, kl)
+                xs = jnp.pad(xs, [(0, 0)] * (xs.ndim - 1) + [(0, kps - kl)])
+                xq = xs.reshape(*x.shape[:-1], S * kps)
+            # n from the live array, not static metadata: inside shard_map
+            # the leaves are local shards while .shape still describes the
+            # full logical tensor
             y = gemv.quantized_matmul(
-                x, w.packed, w.scales, w.zeros, w.lut,
+                xq, w.packed, w.scales, w.zeros, w.lut,
                 fmt=_kernel_fmt(w.fmt), group_size=w.group_size,
-                n=w.shape[0], block_n=block_n, out_dtype=x.dtype,
+                n=w.packed.shape[0], block_n=block_n, out_dtype=x.dtype,
                 use_gather=use_gather, interpret=interpret)
         else:
             wd = dequantize_tensor(w, dtype=x.dtype)

@@ -51,10 +51,22 @@ def pad_axis(x: jax.Array, axis: int, target: int, value=0) -> jax.Array:
     return jnp.pad(x, pads, constant_values=value)
 
 
-def pack_int4(codes: jax.Array) -> jax.Array:
+def pack_int4(codes: jax.Array, shards: int = 1) -> jax.Array:
     """Pack 4-bit codes ``[n, k]`` (values in [0,15]) into planar int32
-    ``[n, k_padded/8]``."""
+    ``[n, k_padded/8]``.
+
+    ``shards > 1`` packs each of the ``shards`` contiguous k-slices
+    independently (each zero-padded to a PACK_BLOCK multiple) so that
+    sharding the packed array along its word axis splits exactly at logical
+    k boundaries -- required for row-parallel tensor parallelism, where each
+    device must hold a contiguous k-range of the weight.
+    """
     n, k = codes.shape
+    if shards > 1:
+        assert k % shards == 0, f"k={k} not divisible by shards={shards}"
+        parts = [pack_int4(codes[:, s * (k // shards):(s + 1) * (k // shards)])
+                 for s in range(shards)]
+        return jnp.concatenate(parts, axis=1)
     kp = padded_k(k)
     c = pad_axis(codes.astype(jnp.int32), 1, kp)
     c = c.reshape(n, kp // PACK_BLOCK, PLANES, LANES)
@@ -63,8 +75,14 @@ def pack_int4(codes: jax.Array) -> jax.Array:
     return words.reshape(n, kp // PLANES)
 
 
-def unpack_int4(packed: jax.Array, k: int) -> jax.Array:
+def unpack_int4(packed: jax.Array, k: int, shards: int = 1) -> jax.Array:
     """Inverse of :func:`pack_int4`; returns uint8 codes ``[n, k]``."""
+    if shards > 1:
+        n, kw = packed.shape
+        per = kw // shards
+        parts = [unpack_int4(packed[:, s * per:(s + 1) * per], k // shards)
+                 for s in range(shards)]
+        return jnp.concatenate(parts, axis=1)
     n, kw = packed.shape
     kp = kw * PLANES
     words = packed.reshape(n, kp // PACK_BLOCK, 1, LANES)
@@ -74,9 +92,21 @@ def unpack_int4(packed: jax.Array, k: int) -> jax.Array:
 
 
 def pad_group_arrays(scales: jax.Array, zeros: jax.Array | None, k: int,
-                     group_size: int):
+                     group_size: int, shards: int = 1):
     """Pad per-group scale/zero arrays ``[n, k/g]`` to cover ``padded_k(k)``
-    groups with zeros (so padded weights reconstruct to 0)."""
+    groups with zeros (so padded weights reconstruct to 0). With
+    ``shards > 1`` padding is applied per contiguous k-shard, mirroring
+    :func:`pack_int4`."""
+    if shards > 1:
+        gs = scales.shape[1] // shards
+        parts = [pad_group_arrays(
+            scales[:, s * gs:(s + 1) * gs],
+            None if zeros is None else zeros[:, s * gs:(s + 1) * gs],
+            k // shards, group_size) for s in range(shards)]
+        s_all = jnp.concatenate([p[0] for p in parts], axis=1)
+        z_all = None if zeros is None else \
+            jnp.concatenate([p[1] for p in parts], axis=1)
+        return s_all, z_all
     kp = padded_k(k)
     gp = kp // group_size
     scales = pad_axis(scales, 1, gp)
@@ -85,9 +115,14 @@ def pad_group_arrays(scales: jax.Array, zeros: jax.Array | None, k: int,
     return scales, zeros
 
 
-def pack_int8(q: jax.Array) -> jax.Array:
+def pack_int8(q: jax.Array, shards: int = 1) -> jax.Array:
     """int8 weights need no nibble packing on TPU (int8 is a native tile
     dtype); this just zero-pads k to the kernel block size (row-major
-    ``[n, kp]``)."""
+    ``[n, kp]``), per contiguous k-shard when ``shards > 1``."""
     n, k = q.shape
+    if shards > 1:
+        assert k % shards == 0
+        return jnp.concatenate(
+            [pack_int8(q[:, s * (k // shards):(s + 1) * (k // shards)])
+             for s in range(shards)], axis=1)
     return pad_axis(q, 1, padded_k(k))

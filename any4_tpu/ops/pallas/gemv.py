@@ -5,31 +5,34 @@ that streams packed 4-bit weights gmem->registers, dequantizes in-register
 (LUT gather via smem/`__shfl_sync` or uniform int4 magic-number arithmetic)
 and accumulates with `mma.sync` (TinyGemmImpl.cuh:23-345,
 MatrixLayoutB.cuh:698-1099, Dequantization.cuh:18-260). The TPU equivalent
-is one Pallas kernel family over a ``(n_blocks, k_blocks)`` grid:
+is one Pallas kernel family over a ``(n_blocks, k_chunks)`` grid:
 
 - packed codes arrive in the planar layout of :mod:`any4_tpu.ops.packing`:
   a ``[block_n, 128] int32`` tile holds, in its 8 nibble planes, a full
   ``[block_n, 1024]`` k-slice of the weight matrix; unpacking is 8
   shift/mask ops with no cross-lane interleaves;
-- any4's per-row 16-entry LUT is tiled 8x along lanes and gathered with the
-  hardware dynamic-gather unit (``jnp.take_along_axis`` along lanes with
-  same-shape f32 operands -- the only gather direction TPU supports) -- the
-  TPU analog of the reference's in-register `__shfl_sync` LUT
-  (Dequantization.cuh:93-131);
-- the group scale/zero affine is **hoisted past the matmul**: within one
-  quantization group, ``x_c @ (vals*s + z)^T == (x_c @ vals^T)*s
-  + (sum_k x_c)*z`` since s, z are constant per (group, output-row). The fma
-  touches the tiny ``[m, block_n]`` f32 accumulator instead of the
-  ``[block_n, 128]`` weight tile, and the MXU consumes raw bf16 LUT values
-  through a rhs-contracted ``dot_general`` (the standard ``x @ W^T`` form);
-- scales/zeros are stored transposed ``[k/g, n]`` (the reference's
-  scales_and_zeros layout, tinygemm_lib/utils.py:53-65), tiling as
-  (groups-per-k-block, block_n) blocks whose lane dim matches the output;
-- k-blocks accumulate into a VMEM f32 scratch (the analog of the reference's
+- dequantization is a single hardware dynamic-gather per plane from a
+  **fused dequant table**: for each run of 8 quantization groups the kernel
+  builds ``table[r, 16*g + c] = lut[r, c] * scale[r, g] + zero[r, g]`` (the
+  16-entry codebook -- any4's learned per-row LUT, the uniform int4 ramp, or
+  a global nf4/fp4/mx4 table -- pre-multiplied into each group's affine), so
+  the gathered value IS the bf16 dequantized weight, bit-identical to the
+  reference's dequantize-to-bf16-then-mma semantics. This is the TPU analog
+  of the reference's in-register `__shfl_sync` LUT (Dequantization.cuh:93).
+  TPU's gather unit only works along lanes with same-shape operands, which
+  fixes the packed layout orientation (rows on sublanes);
+- scale/zero blocks load in their natural transposed ``[k/g, n]`` layout
+  (the reference's scales_and_zeros layout, tinygemm_lib/utils.py:53-65) and
+  are transposed + lane-tiled in-VMEM (tiny ``[groups, block_n]`` tiles);
+- all planes of a k-chunk concatenate into one ``[block_n, chunk]`` bf16
+  operand feeding a *single* ``dot_general`` per grid step, amortizing MXU
+  pipeline drain across the whole chunk (8 small dots per k-block were
+  drain-bound);
+- k-chunks accumulate into a VMEM f32 scratch (the analog of the reference's
   cross-warp smem split-k reduction, TinyGemmImpl.cuh:313-344).
 
-Supported formats: ``int4`` (uniform, arithmetic dequant), ``any4`` (per-row
-LUT), ``lut4`` (global 16-entry LUT: nf4/fp4/mx4), ``int8``.
+Supported formats: ``int4`` (uniform ramp table), ``any4`` (per-row LUT),
+``lut4`` (global 16-entry LUT: nf4/fp4/mx4), ``int8``.
 """
 from __future__ import annotations
 
@@ -46,95 +49,105 @@ from ..packing import LANES, PACK_BLOCK, PLANES
 DEFAULT_BLOCK_N = 512
 
 
-def _plane_rows(group_size: int) -> int:
-    """Scale-table rows per PACK_BLOCK k-block (table granularity is
-    min(group_size, 128); larger groups are pre-expanded to one row per
-    plane by the wrapper)."""
-    return PACK_BLOCK // min(group_size, LANES)
-
-
-def _accumulate(acc, x_ref, vals, s_ref, z_ref, j, gpp, gw):
-    """One plane's contribution: gpp scale-hoisted chunk matmuls.
-
-    vals: [bn, LANES] bf16 raw codebook values for plane j.
-    """
-    for c in range(gpp):
-        xc = x_ref[:, j * LANES + c * gw:j * LANES + (c + 1) * gw]
-        vc = vals[:, c * gw:(c + 1) * gw]
-        part = jax.lax.dot_general(
-            xc, vc, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)              # [m, bn]
-        row = j * gpp + c
-        s = s_ref[row, :][None, :]
-        z = z_ref[row, :][None, :]
-        xs = jnp.sum(xc.astype(jnp.float32), axis=1, keepdims=True)
-        acc = acc + part * s + xs * z
-    return acc
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
 
 
 def _q4_kernel(x_ref, w_ref, s_ref, z_ref, lut_ref, o_ref, acc_ref, *,
-               fmt: str, group_size: int, bn: int, nk: int,
-               use_gather: bool):
-    kb = pl.program_id(1)
+               fmt: str, group_size: int, bn: int, nk: int, kbs: int):
+    """One grid step: dequantize a [bn, kbs*1024] k-chunk via fused-table
+    gathers and accumulate a single dot."""
+    kc = pl.program_id(1)
 
-    @pl.when(kb == 0)
+    @pl.when(kc == 0)
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    w = w_ref[:]  # [bn, 128] int32 = one PACK_BLOCK k-slice
-    if fmt in ("any4", "lut4"):
-        lut = lut_ref[:].astype(jnp.float32)         # [bn, 16] or [1, 16]
-        if fmt == "lut4":
-            lut = jnp.broadcast_to(lut, (bn, 16))
-        lut_t = jnp.concatenate([lut] * (LANES // 16), axis=1)  # [bn, 128]
+    g_eff = min(group_size, LANES)
+    gpp = LANES // g_eff            # groups per plane
+    ppt = 8 // gpp                  # planes per 8-group table
+    n_tables = kbs * PLANES // ppt  # tables per program
+    R = s_ref.shape[0]              # groups per program (at g_eff granularity)
 
-    gpp = max(1, LANES // group_size)   # scale chunks per plane
-    gw = LANES // gpp                   # chunk width along k
+    # per-row codebook in [bn, 16], tiled to 128 lanes
+    lut = lut_ref[:].astype(jnp.float32)
+    if fmt != "any4":
+        lut = jnp.broadcast_to(lut, (bn, 16))
+    lut_t = jnp.concatenate([lut] * (LANES // 16), axis=1)      # [bn, 128]
 
-    acc = acc_ref[:]
-    for j in range(PLANES):
-        codes = jax.lax.shift_right_logical(w, 4 * j) & 0xF
-        if fmt == "int4":
-            vals = (codes - 8).astype(jnp.bfloat16)
-        elif use_gather:
-            vals = jnp.take_along_axis(lut_t, codes, axis=1) \
-                .astype(jnp.bfloat16)
-        else:  # interpreter / no-gather fallback: 16-way select tree
-            vals = jnp.zeros(codes.shape, jnp.float32)
-            for c in range(16):
-                vals = vals + jnp.where(codes == c, lut[:, c:c + 1], 0.0)
-            vals = vals.astype(jnp.bfloat16)
-        acc = _accumulate(acc, x_ref, vals, s_ref, z_ref, j, gpp, gw)
-    acc_ref[:] = acc
+    # scales/zeros arrive [R, bn]; transpose in-VMEM and tile to 128 lanes
+    st = s_ref[:].astype(jnp.float32).T                          # [bn, R]
+    zt = z_ref[:].astype(jnp.float32).T
+    tiles = LANES // R if R < LANES else 1
+    if tiles > 1:
+        st = jnp.concatenate([st] * tiles, axis=1)               # [bn, 128]
+        zt = jnp.concatenate([zt] * tiles, axis=1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (bn, LANES), 1)
 
-    @pl.when(kb == nk - 1)
+    w = w_ref[:]  # [bn, kbs*128] int32
+    planes = []
+    for t in range(n_tables):
+        # fused dequant table for groups [t*8, t*8+8):
+        # table[r, 16*g + c] = lut[r, c] * s[r, g] + z[r, g]
+        gidx = (t * 8 + lane // 16) % max(R, 1)
+        sg = jnp.take_along_axis(st, gidx, axis=1)
+        zg = jnp.take_along_axis(zt, gidx, axis=1)
+        table = lut_t * sg + zg                                   # f32
+        for p in range(ppt):
+            j = t * ppt + p          # global plane index in this chunk
+            b, jj = divmod(j, PLANES)
+            codes = jax.lax.shift_right_logical(
+                w[:, b * LANES:(b + 1) * LANES], 4 * jj) & 0xF
+            idx = codes + 16 * (p * gpp + lane // g_eff)
+            planes.append(
+                jnp.take_along_axis(table, idx, axis=1)
+                .astype(jnp.bfloat16))
+    wfull = jnp.concatenate(planes, axis=1)  # [bn, kbs*1024] bf16
+
+    part = jax.lax.dot_general(
+        x_ref[:], wfull, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)                       # [m, bn]
+    acc_ref[:] = acc_ref[:] + part
+
+    @pl.when(kc == nk - 1)
     def _():
         o_ref[:] = acc_ref[:].astype(o_ref.dtype)
 
 
 def _int8_kernel(x_ref, w_ref, s_ref, z_ref, o_ref, acc_ref, *,
-                 group_size: int, bn: int, nk: int):
-    kb = pl.program_id(1)
+                 group_size: int, bn: int, nk: int, kbs: int):
+    kc = pl.program_id(1)
 
-    @pl.when(kb == 0)
+    @pl.when(kc == 0)
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    gpp = max(1, LANES // group_size)
-    gw = LANES // gpp
-    acc = acc_ref[:]
-    for j in range(PLANES):
-        vals = w_ref[:, j * LANES:(j + 1) * LANES].astype(jnp.bfloat16)
-        acc = _accumulate(acc, x_ref, vals, s_ref, z_ref, j, gpp, gw)
-    acc_ref[:] = acc
+    g_eff = min(group_size, LANES)
+    R = s_ref.shape[0]
+    st = s_ref[:].astype(jnp.float32).T
+    zt = z_ref[:].astype(jnp.float32).T
+    tiles = LANES // R if R < LANES else 1
+    if tiles > 1:
+        st = jnp.concatenate([st] * tiles, axis=1)
+        zt = jnp.concatenate([zt] * tiles, axis=1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (bn, LANES), 1)
 
-    @pl.when(kb == nk - 1)
+    planes = []
+    for j in range(kbs * PLANES):
+        q = w_ref[:, j * LANES:(j + 1) * LANES].astype(jnp.float32)
+        gidx = j * (LANES // g_eff) + lane // g_eff
+        sg = jnp.take_along_axis(st, gidx, axis=1)
+        zg = jnp.take_along_axis(zt, gidx, axis=1)
+        planes.append((q * sg + zg).astype(jnp.bfloat16))
+    wfull = jnp.concatenate(planes, axis=1)
+    part = jax.lax.dot_general(
+        x_ref[:], wfull, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    acc_ref[:] = acc_ref[:] + part
+
+    @pl.when(kc == nk - 1)
     def _():
         o_ref[:] = acc_ref[:].astype(o_ref.dtype)
-
-
-def _round_up(x: int, m: int) -> int:
-    return -(-x // m) * m
 
 
 def _expand_plane_scales(sz: jax.Array, group_size: int) -> jax.Array:
@@ -157,7 +170,7 @@ def quantized_matmul_padded(
     packed: jax.Array,             # 4-bit fmts: [np, kp/8] int32; int8: [np, kp]
     scales_t: jax.Array,           # [kp/g, np] f32 (transposed)
     zeros_t: jax.Array,            # [kp/g, np] f32
-    lut: Optional[jax.Array],      # any4: [np, 16]; lut4: [1, 16]; else None
+    lut: Optional[jax.Array],      # any4: [np, 16]; lut4/int4: [1, 16]
     *,
     fmt: str,
     group_size: int,
@@ -169,50 +182,51 @@ def quantized_matmul_padded(
 ) -> jax.Array:
     """Core padded kernel launch; returns ``y [mp, n]``. Use
     :func:`quantized_matmul` for the padding-aware entry point."""
+    del use_gather  # the gather unit is always used (interpreter emulates)
     mp, kp = x.shape
     np_ = packed.shape[0]
     assert kp % PACK_BLOCK == 0 and mp % 8 == 0
     assert np_ % block_n == 0
-    nk = kp // PACK_BLOCK
+    nkb = kp // PACK_BLOCK
+    kbs = 2 if nkb % 2 == 0 else 1   # k-blocks fused per grid step
+    nk = nkb // kbs
     nb = np_ // block_n
     kw = LANES if fmt != "int8" else PACK_BLOCK
-    rows = _plane_rows(group_size)  # scale rows per k-block
 
     sz = _expand_plane_scales(scales_t, group_size)
     zz = _expand_plane_scales(zeros_t, group_size)
+    g_eff = min(group_size, LANES)
+    assert g_eff >= 16, \
+        f"group_size {group_size} < 16 unsupported by the fused-table kernel"
+    rows = kbs * PACK_BLOCK // g_eff  # scale rows per grid step
 
     in_specs = [
-        pl.BlockSpec((mp, PACK_BLOCK), lambda i, kb: (0, kb),
+        pl.BlockSpec((mp, kbs * PACK_BLOCK), lambda i, kc: (0, kc),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((block_n, kw), lambda i, kb: (i, kb),
+        pl.BlockSpec((block_n, kbs * kw), lambda i, kc: (i, kc),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((rows, block_n), lambda i, kb: (kb, i),
+        pl.BlockSpec((rows, block_n), lambda i, kc: (kc, i),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((rows, block_n), lambda i, kb: (kb, i),
+        pl.BlockSpec((rows, block_n), lambda i, kc: (kc, i),
                      memory_space=pltpu.VMEM),
     ]
     args = [x, packed, sz, zz]
-    if fmt in ("any4", "lut4"):
+    if fmt in ("any4", "lut4", "int4"):
         if fmt == "any4":
-            in_specs.append(pl.BlockSpec((block_n, 16), lambda i, kb: (i, 0),
+            in_specs.append(pl.BlockSpec((block_n, 16), lambda i, kc: (i, 0),
                                          memory_space=pltpu.VMEM))
         else:
-            in_specs.append(pl.BlockSpec((1, 16), lambda i, kb: (0, 0),
+            in_specs.append(pl.BlockSpec((1, 16), lambda i, kc: (0, 0),
                                          memory_space=pltpu.VMEM))
+        if fmt == "int4":
+            lut = (jnp.arange(16, dtype=jnp.float32) - 8.0)[None, :]
         args.append(lut.astype(jnp.float32))
         kern = functools.partial(
             _q4_kernel, fmt=fmt, group_size=group_size, bn=block_n, nk=nk,
-            use_gather=use_gather)
-    elif fmt == "int4":
-        in_specs.append(pl.BlockSpec((1, 16), lambda i, kb: (0, 0),
-                                     memory_space=pltpu.VMEM))
-        args.append(jnp.zeros((1, 16), jnp.float32))  # unused placeholder
-        kern = functools.partial(
-            _q4_kernel, fmt=fmt, group_size=group_size, bn=block_n, nk=nk,
-            use_gather=use_gather)
+            kbs=kbs)
     elif fmt == "int8":
         kern = functools.partial(
-            _int8_kernel, group_size=group_size, bn=block_n, nk=nk)
+            _int8_kernel, group_size=group_size, bn=block_n, nk=nk, kbs=kbs)
     else:
         raise ValueError(f"unsupported fmt {fmt!r}")
 
@@ -220,7 +234,7 @@ def quantized_matmul_padded(
         kern,
         grid=(nb, nk),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((mp, block_n), lambda i, kb: (0, i),
+        out_specs=pl.BlockSpec((mp, block_n), lambda i, kc: (0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((mp, np_), out_dtype),
         scratch_shapes=[pltpu.VMEM((mp, block_n), jnp.float32)],
@@ -262,12 +276,29 @@ def quantized_matmul(
     tinygemm targets 1 <= m <= 16, README.md:33-37); large-m callers should
     prefer dequantize-then-matmul (see ops.linear.linear).
     """
+    # Mosaic kernels only run on TPU; fall back to the interpreter on CPU
+    # (tests, virtual-device meshes, multichip dry runs)
+    interpret = interpret or jax.default_backend() == "cpu"
+
     orig_shape = x.shape
     x2 = x.reshape(-1, orig_shape[-1]).astype(jnp.bfloat16)
     m, k = x2.shape
     np_full = packed.shape[0]
     n = np_full if n is None else n
     kp = packed.shape[1] * (PLANES if fmt != "int8" else 1)
+
+    # a sharded (row-parallel) weight may carry a partial PACK_BLOCK of k;
+    # zero-pad back to alignment (codes 0 + scales 0 reconstruct to 0.0)
+    kpa = _round_up(kp, PACK_BLOCK)
+    if kpa != kp:
+        wordpad = (kpa - kp) // (PLANES if fmt != "int8" else 1)
+        packed = jnp.pad(packed, ((0, 0), (0, wordpad)))
+        ge = min(group_size, kpa)
+        rows_target = kpa // ge
+        rowpad = rows_target - scales_t.shape[0]
+        scales_t = jnp.pad(scales_t, ((0, rowpad), (0, 0)))
+        zeros_t = jnp.pad(zeros_t, ((0, rowpad), (0, 0)))
+        kp = kpa
 
     mp = _round_up(max(m, 16), 16)
     bn = min(block_n, _round_up(np_full, 128))

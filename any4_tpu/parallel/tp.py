@@ -61,14 +61,14 @@ def _qt_spec(kind: str, qt: lin.QuantizedTensor) -> lin.QuantizedTensor:
             packed=P("tp", None), scales=P(None, "tp"),
             zeros=P(None, "tp"), lut=lut,
             fmt=qt.fmt, group_size=qt.group_size, shape=qt.shape,
-            dtype=qt.dtype)
+            dtype=qt.dtype, row_shards=qt.row_shards)
     else:               # row: shard k (input) dim
         lut = None if qt.lut is None else P(None, None)
         return lin.QuantizedTensor(
             packed=P(None, "tp"), scales=P("tp", None),
             zeros=P("tp", None), lut=lut,
             fmt=qt.fmt, group_size=qt.group_size, shape=qt.shape,
-            dtype=qt.dtype)
+            dtype=qt.dtype, row_shards=qt.row_shards)
 
 
 def _dense_spec(kind: str):
@@ -93,7 +93,8 @@ def param_specs(params: Dict) -> Dict:
                     P(None, None), P(None, None), P(None, None),
                     None if leaf.lut is None else P(None, None),
                     fmt=leaf.fmt, group_size=leaf.group_size,
-                    shape=leaf.shape, dtype=leaf.dtype)
+                    shape=leaf.shape, dtype=leaf.dtype,
+                    row_shards=leaf.row_shards)
             return _qt_spec(kind, leaf)
         if kind == "repl" or leaf.ndim != 2:
             return P(*([None] * getattr(leaf, "ndim", 1)))

@@ -51,6 +51,9 @@ def any4_quantize(
     init: str = "k-means++",
     kmeans_iters: int = 30,
     seed: int = 0,
+    nnq: bool = False,
+    nnq_args: Optional[dict] = None,
+    sample_activations=None,
 ):
     """Quantize a weight matrix ``[n, k]`` to any4.
 
@@ -120,6 +123,16 @@ def any4_quantize(
 
     if bias_pow != 1.0:
         lut = jnp.abs(lut) ** (1.0 / bias_pow) * jnp.sign(lut) + half
+
+    if nnq:
+        # gradient refinement of the LUT values (reference learn_anyq,
+        # quantize.py:687-806)
+        assert per_row, "nnq refinement requires per_row=True"
+        from . import nnq as _nnq
+        lut, assign = _nnq.learn_lut(
+            w, lut, scales, zeros, group_size=group_size,
+            sample_activations=sample_activations,
+            **(nnq_args or {}))
 
     codes = assign.astype(jnp.uint8)
     if not per_row:

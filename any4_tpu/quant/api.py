@@ -33,6 +33,10 @@ DEFAULT_LINEAR_KEYS = (
 )
 DEFAULT_SKIP = ("lm_head",)  # reference skips the LM head by default
 
+# leaves whose *input* (k) dim is sharded under tensor parallelism; with
+# ``row_parallel_shards`` these pack k as independently-padded shards
+ROW_PARALLEL_KEYS = ("o_proj", "down_proj", "fc2", "w2", "wo", "out_proj")
+
 
 def _walk(tree: Any, prefix: str = ""):
     """Yield (name, leaf, setter) triples over nested dict/list pytrees."""
@@ -83,6 +87,7 @@ def quantize_model(
     sample_weight: Union[None, Dict, Callable, jax.Array] = None,
     calibrate_fn: Optional[Callable] = None,
     progress: bool = False,
+    row_parallel_shards: int = 1,
     **kwargs,
 ) -> Dict:
     """Quantize every targeted linear weight in a parameter pytree.
@@ -126,7 +131,10 @@ def quantize_model(
         else:
             kw.setdefault("seed", index)
         f = "any4" if fmt == "anyq" else ("int4" if fmt == "intq" else fmt)
-        qt = lin.quantize_tensor(leaf, f, group_size, **kw)
+        shards = row_parallel_shards \
+            if name.split(".")[-1] in ROW_PARALLEL_KEYS else 1
+        qt = lin.quantize_tensor(leaf, f, group_size, row_shards=shards,
+                                 **kw)
         if progress:
             print(f"  quantized {name} {leaf.shape} -> {fmt}")
         if pseudo:

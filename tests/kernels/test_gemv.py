@@ -57,26 +57,23 @@ class TestIdentityMul:
         w = jnp.eye(k, dtype=jnp.float32)
         qt = lin.quantize_tensor(w, fmt, group_size=128, kmeans_iters=25) \
             if fmt == "any4" else lin.quantize_tensor(w, fmt, group_size=128)
-        # the kernel computes in bf16 (like the reference's bf16 tensor-core
-        # path); identity reproduces the input up to one absolute residue of
-        # ~1e-6 from the scale-hoisted f32 cancellation (the reference gets
-        # torch.equal because it rounds W to bf16 *before* the mma; our
-        # post-dot scale application leaves an O(ulp(sum|x|)) residue)
+        # the fused dequant table rounds lut*s+z to bf16 exactly like the
+        # reference's dequantize-to-bf16-then-mma, so identity is EXACT in
+        # the bf16 domain (reference test_identity_mul uses torch.equal)
         x = jax.random.normal(jax.random.PRNGKey(0), (4, k),
                               jnp.float32).astype(jnp.bfloat16)
         y = _mm(x, qt, out_dtype=jnp.bfloat16)
-        np.testing.assert_allclose(
+        np.testing.assert_array_equal(
             np.asarray(y.astype(jnp.float32)),
-            np.asarray(x.astype(jnp.float32)), rtol=0, atol=4e-6)
+            np.asarray(x.astype(jnp.float32)))
 
 
 class TestGeneralK:
-    @pytest.mark.parametrize("k", [1024, 2048, 1536, 2500])
+    @pytest.mark.parametrize("k", [1024, 2048, 1536, 2560])
     def test_k_sweep_int4(self, k):
         w = jax.random.normal(jax.random.PRNGKey(1), (128, k))
-        # group must divide k for the quantizer; pad-to-1024 happens inside
-        g = 128 if k % 128 == 0 else 4
-        qt = lin.quantize_tensor(w, "int4", group_size=g)
+        # non-multiples of the 1024 pack block exercise the padding path
+        qt = lin.quantize_tensor(w, "int4", group_size=128)
         x = jax.random.normal(jax.random.PRNGKey(2), (2, k))
         y = _mm(x, qt)
         _assert_close(y, _ref(x, qt))

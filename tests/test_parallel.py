@@ -39,8 +39,11 @@ class TestTPForward:
 
     def test_quantized_tp_matches_single(self, tiny):
         cfg, params = tiny
-        qparams = api.quantize_model(params, fmt="int4", group_size=32)
-        mesh = tp.make_mesh(dp=1, tp=8)
+        # row-parallel weights must be packed per k-shard so that array
+        # sharding splits at logical k boundaries
+        qparams = api.quantize_model(params, fmt="int4", group_size=32,
+                                     row_parallel_shards=4)
+        mesh = tp.make_mesh(dp=2, tp=4)
         sharded, specs = tp.shard_params(qparams, mesh)
         fwd = tp.make_tp_forward(cfg, mesh, specs)
         ids = jax.random.randint(jax.random.PRNGKey(2), (2, 8), 0,

@@ -105,12 +105,15 @@ class TestQuantizeModel:
         assert isinstance(w, jax.Array)
         assert w.shape == params["layers"][0]["q_proj"].shape
 
-    def test_model_size_shrinks(self, tiny):
-        cfg, params = tiny
+    def test_model_size_shrinks(self):
+        # use realistic dims: k is padded to the 1024-wide pack block, so
+        # compression only shows once k >= 1024 (real models always are)
+        w = jax.random.normal(jax.random.PRNGKey(0), (256, 2048))
+        params = {"q_proj": w}
         dense = api.model_size_bytes(params)
-        qp = api.quantize_model(params, fmt="int4", group_size=32,
+        qp = api.quantize_model(params, fmt="int4", group_size=128,
                                 skip_modules=())
-        assert api.model_size_bytes(qp) < dense
+        assert api.model_size_bytes(qp) < dense * 0.45
 
 
 class TestCalibrationIntegration:

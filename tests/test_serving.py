@@ -1,0 +1,99 @@
+"""Paged KV cache + continuous batching engine tests."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from any4_tpu.models import generate, llama
+from any4_tpu.serving import engine as eng
+from any4_tpu.serving import kv_cache as kvc
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    cfg = llama.LlamaConfig.tiny(vocab=256, layers=2)
+    params = llama.init_params(cfg, jax.random.PRNGKey(0))
+    return cfg, params
+
+
+class TestPagedKV:
+    def test_allocator_and_release(self):
+        a = kvc.PageAllocator(num_pages=9, max_seqs=2, pages_per_seq=4)
+        assert a.ensure(0, 33, 16)      # 3 pages
+        assert len(a.seq_pages[0]) == 3
+        assert a.ensure(1, 64, 16)      # 4 pages
+        assert not a.ensure(0, 80, 16)  # would need 5 > pages_per_seq
+        a.release(1)
+        assert a.ensure(0, 64, 16)
+        assert 0 not in [p for ps in a.seq_pages for p in ps]  # reserved
+
+    def test_write_then_gather_roundtrip(self):
+        pages = jnp.zeros((4, 8, 2, 4))
+        kv = jax.random.normal(jax.random.PRNGKey(0), (1, 10, 2, 4))
+        pos = np.arange(10)
+        table = np.array([2, 3, 0, 0])
+        page_ids = jnp.asarray(table[pos // 8])[None]
+        offsets = jnp.asarray(pos % 8)[None]
+        pages = kvc.write_tokens(pages, kv, page_ids, offsets)
+        ctx = kvc.gather_ctx(pages, jnp.asarray(table)[None])
+        np.testing.assert_allclose(np.asarray(ctx[0, :10]),
+                                   np.asarray(kv[0]), atol=1e-6)
+
+
+class TestEngine:
+    def test_single_request_matches_generate(self, tiny):
+        cfg, params = tiny
+        prompt = np.asarray(
+            jax.random.randint(jax.random.PRNGKey(1), (6,), 0,
+                               cfg.vocab_size))
+        ref = generate.generate(params, cfg, jnp.asarray(prompt[None]),
+                                max_new_tokens=6)
+        e = eng.Engine(params, cfg, max_slots=2, max_ctx=64, page_size=8)
+        e.submit(prompt, max_new_tokens=6)
+        done = e.run()
+        assert len(done) == 1
+        got = np.asarray(done[0].out_tokens)
+        expect = np.asarray(ref[0, 6:])
+        np.testing.assert_array_equal(got, expect)
+
+    def test_continuous_batching_multiple_requests(self, tiny):
+        cfg, params = tiny
+        rng = np.random.RandomState(0)
+        prompts = [rng.randint(0, cfg.vocab_size, size=n).astype(np.int32)
+                   for n in (4, 7, 5, 6, 3)]
+        refs = [np.asarray(generate.generate(
+            params, cfg, jnp.asarray(p[None]), max_new_tokens=4)[0, len(p):])
+            for p in prompts]
+        e = eng.Engine(params, cfg, max_slots=2, max_ctx=32, page_size=8)
+        uids = [e.submit(p, max_new_tokens=4) for p in prompts]
+        done = e.run()
+        assert len(done) == 5
+        by_uid = {r.uid: r for r in done}
+        for uid, ref in zip(uids, refs):
+            np.testing.assert_array_equal(
+                np.asarray(by_uid[uid].out_tokens), ref)
+
+    def test_pages_recycled(self, tiny):
+        cfg, params = tiny
+        e = eng.Engine(params, cfg, max_slots=1, max_ctx=32, page_size=8,
+                       num_pages=6)
+        free0 = len(e.alloc.free)
+        for _ in range(3):
+            e.submit(np.asarray([1, 2, 3], np.int32), max_new_tokens=3)
+        done = e.run()
+        assert len(done) == 3
+        assert len(e.alloc.free) == free0
+
+    def test_eos_stops_early(self, tiny):
+        cfg, params = tiny
+        prompt = np.asarray([5, 6, 7], np.int32)
+        ref = generate.generate(params, cfg, jnp.asarray(prompt[None]),
+                                max_new_tokens=8)
+        toks = np.asarray(ref[0, 3:])
+        eos = int(toks[2])  # stop no later than the 3rd generated token
+        e = eng.Engine(params, cfg, max_slots=1, max_ctx=64, page_size=8)
+        e.submit(prompt, max_new_tokens=8, eos_token_id=eos)
+        done = e.run()
+        out = done[0].out_tokens
+        # the tiny random model may emit the eos token even earlier
+        assert len(out) <= 3 and out[-1] == eos
