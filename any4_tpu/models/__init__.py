@@ -1,1 +1,1 @@
-from . import generate, llama, loader  # noqa: F401
+from . import checkpoint, generate, llama, loader, mixtral, opt  # noqa: F401

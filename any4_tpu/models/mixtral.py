@@ -1,0 +1,119 @@
+"""Functional JAX Mixtral (sparse MoE) decoder.
+
+The reference evaluates Mixtral-8x7B through HF's dense eager path
+(README.md:309-327); here the architecture is Llama attention + a top-k
+routed expert FFN. Expert weights (w1/gate, w3/up, w2/down per expert) are
+quantization targets like any other linear (keys registered in
+quant.api.DEFAULT_LINEAR_KEYS), so ``quantize_model`` quantizes every
+expert independently -- matching the reference, which quantizes each expert
+nn.Linear it finds.
+
+Routing is computed exactly (softmax over top-k logits, HF semantics); the
+expert application below evaluates every expert on every token and combines
+by routing weight. That is compute-dense but correct and XLA-friendly
+(static shapes); a gather-based sparse dispatch is a later optimization.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import linear as lin
+from . import llama
+
+
+@dataclasses.dataclass(frozen=True)
+class MixtralConfig(llama.LlamaConfig):
+    num_local_experts: int = 8
+    num_experts_per_tok: int = 2
+
+    @classmethod
+    def tiny(cls, vocab=256, layers=2):
+        return cls(vocab_size=vocab, hidden_size=64, intermediate_size=96,
+                   num_hidden_layers=layers, num_attention_heads=4,
+                   num_key_value_heads=2, max_position_embeddings=512,
+                   num_local_experts=4, num_experts_per_tok=2)
+
+
+def init_params(cfg: MixtralConfig, key: jax.Array) -> Dict:
+    params = llama.init_params(
+        dataclasses.replace(cfg, intermediate_size=cfg.intermediate_size),
+        key)
+    keys = iter(jax.random.split(jax.random.fold_in(key, 1),
+                                 cfg.num_hidden_layers *
+                                 (1 + 3 * cfg.num_local_experts)))
+
+    def dense(k, n_out, n_in):
+        return (jax.random.normal(k, (n_out, n_in), jnp.float32) *
+                (1.0 / jnp.sqrt(n_in))).astype(cfg.dtype)
+
+    d, f = cfg.hidden_size, cfg.intermediate_size
+    for layer in params["layers"]:
+        for nm in ("gate_proj", "up_proj", "down_proj"):
+            del layer[nm]
+        layer["router"] = dense(next(keys), cfg.num_local_experts, d)
+        layer["experts"] = [
+            {"w1": dense(next(keys), f, d),    # gate
+             "w3": dense(next(keys), f, d),    # up
+             "w2": dense(next(keys), d, f)}    # down
+            for _ in range(cfg.num_local_experts)]
+    return params
+
+
+def moe_ffn(layer: Dict, cfg: MixtralConfig, x: jax.Array, **kw) -> jax.Array:
+    """Top-k routed expert FFN (HF semantics: softmax over the top-k router
+    logits)."""
+    b, t, d = x.shape
+    router_logits = lin.linear(x, layer["router"])        # [b, t, E]
+    topv, topi = jax.lax.top_k(router_logits.astype(jnp.float32),
+                               cfg.num_experts_per_tok)
+    gate = jax.nn.softmax(topv, axis=-1)                   # [b, t, k]
+
+    out = jnp.zeros_like(x, dtype=jnp.float32)
+    for e, expert in enumerate(layer["experts"]):
+        g = lin.linear(x, expert["w1"], **kw)
+        u = lin.linear(x, expert["w3"], **kw)
+        h = jax.nn.silu(g.astype(jnp.float32)).astype(x.dtype) * u
+        ye = lin.linear(h, expert["w2"], **kw).astype(jnp.float32)
+        weight = jnp.sum(jnp.where(topi == e, gate, 0.0), axis=-1)  # [b, t]
+        out = out + ye * weight[..., None]
+    return out.astype(x.dtype)
+
+
+def forward(params: Dict, cfg: MixtralConfig, input_ids: jax.Array,
+            positions: Optional[jax.Array] = None,
+            kv_caches: Optional[list] = None,
+            cache_pos=None, mask: Optional[jax.Array] = None,
+            capture: Optional[dict] = None, **kw):
+    b, t = input_ids.shape
+    if positions is None:
+        positions = jnp.broadcast_to(jnp.arange(t)[None, :], (b, t))
+    cos, sin = llama.rope_tables(cfg, positions)
+    x = jnp.take(params["embed_tokens"], input_ids, axis=0).astype(cfg.dtype)
+
+    if mask is None and kv_caches is None and t > 1:
+        mask = jnp.where(jnp.tril(jnp.ones((t, t), jnp.bool_)), 0.0,
+                         -1e9)[None, None].astype(jnp.float32)
+
+    new_caches = []
+    for i, layer in enumerate(params["layers"]):
+        h = llama.rms_norm(x, layer["input_layernorm"], cfg.rms_norm_eps)
+        attn_out, nc = llama.attention(
+            layer, cfg, h, cos, sin,
+            None if kv_caches is None else kv_caches[i],
+            cache_pos, mask, capture=capture, prefix=f"layers.{i}.", **kw)
+        x = x + attn_out
+        h = llama.rms_norm(x, layer["post_attention_layernorm"],
+                           cfg.rms_norm_eps)
+        x = x + moe_ffn(layer, cfg, h, **kw)
+        new_caches.append(nc)
+
+    x = llama.rms_norm(x, params["norm"], cfg.rms_norm_eps)
+    if "lm_head" in params:
+        logits = lin.linear(x, params["lm_head"], **kw)
+    else:
+        logits = x @ params["embed_tokens"].T.astype(x.dtype)
+    return logits, (new_caches if kv_caches is not None else None)

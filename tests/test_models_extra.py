@@ -1,0 +1,112 @@
+"""OPT and Mixtral model-family tests (quantization-compatible forwards)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from any4_tpu.models import mixtral, opt
+from any4_tpu.ops import linear as lin
+from any4_tpu.quant import api
+
+
+class TestOPT:
+    @pytest.fixture(scope="class")
+    def tiny(self):
+        cfg = opt.OPTConfig.tiny(vocab=256, layers=2)
+        params = opt.init_params(cfg, jax.random.PRNGKey(0))
+        return cfg, params
+
+    def test_forward_shapes(self, tiny):
+        cfg, params = tiny
+        ids = jax.random.randint(jax.random.PRNGKey(1), (2, 8), 0,
+                                 cfg.vocab_size)
+        logits, _ = opt.forward(params, cfg, ids)
+        assert logits.shape == (2, 8, cfg.vocab_size)
+        assert np.isfinite(np.asarray(logits, np.float32)).all()
+
+    def test_causality(self, tiny):
+        cfg, params = tiny
+        ids = jax.random.randint(jax.random.PRNGKey(2), (1, 8), 0,
+                                 cfg.vocab_size)
+        ids2 = ids.at[0, -1].set((ids[0, -1] + 1) % cfg.vocab_size)
+        l1, _ = opt.forward(params, cfg, ids)
+        l2, _ = opt.forward(params, cfg, ids2)
+        np.testing.assert_allclose(np.asarray(l1[:, :-1], np.float32),
+                                   np.asarray(l2[:, :-1], np.float32),
+                                   atol=1e-5)
+
+    def test_quantizes_and_runs(self, tiny):
+        cfg, params = tiny
+        qp = api.quantize_model(params, fmt="int4", group_size=32)
+        for layer in qp["layers"]:
+            for nm in ("q_proj", "k_proj", "v_proj", "out_proj", "fc1",
+                       "fc2"):
+                assert isinstance(layer[nm], lin.QuantizedTensor), nm
+        ids = jax.random.randint(jax.random.PRNGKey(3), (1, 8), 0,
+                                 cfg.vocab_size)
+        base, _ = opt.forward(params, cfg, ids)
+        ql, _ = opt.forward(qp, cfg, ids)
+        base = np.asarray(base, np.float32)
+        ql = np.asarray(ql, np.float32)
+        assert np.isfinite(ql).all()
+        assert (base.argmax(-1) == ql.argmax(-1)).mean() >= 0.5
+
+
+class TestMixtral:
+    @pytest.fixture(scope="class")
+    def tiny(self):
+        cfg = mixtral.MixtralConfig.tiny(vocab=256, layers=2)
+        params = mixtral.init_params(cfg, jax.random.PRNGKey(0))
+        return cfg, params
+
+    def test_forward_shapes(self, tiny):
+        cfg, params = tiny
+        ids = jax.random.randint(jax.random.PRNGKey(1), (2, 8), 0,
+                                 cfg.vocab_size)
+        logits, _ = mixtral.forward(params, cfg, ids)
+        assert logits.shape == (2, 8, cfg.vocab_size)
+        assert np.isfinite(np.asarray(logits, np.float32)).all()
+
+    def test_routing_weights_sum_to_one(self, tiny):
+        cfg, params = tiny
+        x = jax.random.normal(jax.random.PRNGKey(2),
+                              (1, 4, cfg.hidden_size), cfg.dtype)
+        layer = params["layers"][0]
+        router_logits = x.astype(jnp.float32) @ np.asarray(
+            layer["router"], np.float32).T
+        topv, _ = jax.lax.top_k(router_logits, cfg.num_experts_per_tok)
+        gate = jax.nn.softmax(topv, axis=-1)
+        np.testing.assert_allclose(np.asarray(gate.sum(-1)), 1.0, atol=1e-5)
+
+    def test_expert_weights_quantize(self, tiny):
+        cfg, params = tiny
+        qp = api.quantize_model(params, fmt="int4", group_size=32)
+        ex = qp["layers"][0]["experts"][0]
+        for nm in ("w1", "w2", "w3"):
+            assert isinstance(ex[nm], lin.QuantizedTensor), nm
+        # router stays dense (not a quantization target by default)
+        assert isinstance(qp["layers"][0]["router"], jax.Array)
+        ids = jax.random.randint(jax.random.PRNGKey(3), (1, 6), 0,
+                                 cfg.vocab_size)
+        ql, _ = mixtral.forward(qp, cfg, ids)
+        assert np.isfinite(np.asarray(ql, np.float32)).all()
+
+    def test_single_expert_equals_dense_mlp(self):
+        # with 1 expert and top-1 routing, MoE reduces to the plain MLP
+        import dataclasses
+        cfg = dataclasses.replace(
+            mixtral.MixtralConfig.tiny(vocab=64, layers=1),
+            num_local_experts=1, num_experts_per_tok=1)
+        params = mixtral.init_params(cfg, jax.random.PRNGKey(0))
+        x = jax.random.normal(jax.random.PRNGKey(1),
+                              (1, 4, cfg.hidden_size), cfg.dtype)
+        layer = params["layers"][0]
+        out = mixtral.moe_ffn(layer, cfg, x)
+        ex = layer["experts"][0]
+        g = x @ np.asarray(ex["w1"]).T
+        u = x @ np.asarray(ex["w3"]).T
+        h = jax.nn.silu(g.astype(jnp.float32)).astype(x.dtype) * u
+        ref = h @ np.asarray(ex["w2"]).T
+        np.testing.assert_allclose(np.asarray(out, np.float32),
+                                   np.asarray(ref, np.float32),
+                                   atol=2e-2, rtol=2e-2)
