@@ -95,7 +95,8 @@ def quantize_tensor(w: jax.Array, fmt: str = "any4", group_size: int = 128,
     from ..quant import anyq  # local import to avoid cycle
 
     n, k = w.shape
-    if group_size <= 0:
+    if group_size <= 0 or group_size > k:
+        # whole-row grouping when the layer is narrower than the group
         group_size = k
     if fmt == "int4":
         codes, scales, zeros = quant.group_quantize(w, 4, group_size)

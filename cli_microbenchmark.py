@@ -34,7 +34,12 @@ def main(argv=None):
     p.add_argument("--group-size", type=int, default=128)
     p.add_argument("--rounds", type=int, default=12)
     p.add_argument("--iters", type=int, default=20)
+    p.add_argument("--sweep", action="store_true",
+                   help="reproduce the reference's K sweep table "
+                        "(README.md:440-455): K=1024..8192 speedups")
     args = p.parse_args(argv)
+    if args.sweep:
+        return sweep(args)
 
     from any4_tpu.ops import linear as lin
     from any4_tpu.ops.pallas import gemv
@@ -69,6 +74,44 @@ def main(argv=None):
     }
     print(json.dumps(out))
     return out
+
+
+def sweep(args):
+    """Dimension sweep over K=N in {1024..8192}, all 4-bit formats
+    interleaved with the bf16 baseline (regime-robust minima)."""
+    from any4_tpu.ops import linear as lin
+    from any4_tpu.ops.pallas import gemv
+
+    table = {}
+    for K in (1024, 2048, 3072, 4096, 5120, 6144, 7168, 8192):
+        N = K
+        w = jax.random.normal(jax.random.PRNGKey(0), (N, K), jnp.float32)
+        x = jax.random.normal(jax.random.PRNGKey(1),
+                              (args.batch, K)).astype(jnp.bfloat16)
+        wb = w.astype(jnp.bfloat16)
+        fns = {"bf16": (jax.jit(lambda a, b: a @ b.T), (x, wb))}
+        for fmt in ("int4", "nf4", "any4"):
+            kw = dict(kmeans_iters=4) if fmt == "any4" else {}
+            qt = lin.quantize_tensor(w, fmt, args.group_size, **kw)
+            kfmt = lin._kernel_fmt(qt.fmt)
+            f = jax.jit(lambda a, p_, s, z, l, kf=kfmt, n_=N:
+                        gemv.quantized_matmul(a, p_, s, z, l, fmt=kf,
+                                              group_size=args.group_size,
+                                              n=n_))
+            fns[fmt] = (f, (x, qt.packed, qt.scales, qt.zeros, qt.lut))
+        best = {k: float("inf") for k in fns}
+        for k, (f, a) in fns.items():
+            jax.block_until_ready(f(*a))
+        for _ in range(args.rounds):
+            for k, (f, a) in fns.items():
+                best[k] = min(best[k], window(f, a, args.iters))
+        row = {fmt: round(best["bf16"] / best[fmt], 2)
+               for fmt in ("int4", "nf4", "any4")}
+        row["bf16_us"] = round(best["bf16"] * 1e6, 1)
+        table[K] = row
+        print(f"K={K}: {row}", file=sys.stderr)
+    print(json.dumps(table))
+    return table
 
 
 if __name__ == "__main__":

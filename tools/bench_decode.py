@@ -1,0 +1,116 @@
+#!/usr/bin/env python
+"""End-to-end decode throughput at realistic model scale (the BASELINE.json
+north-star metric: tokens/s/chip for quantized decode).
+
+Builds a random-weight model at a real architecture size, quantizes it, and
+measures single-chip decode tokens/s for bf16 vs quantized, with
+regime-robust interleaved timing. Run alone on the TPU machine.
+
+  python tools/bench_decode.py --size 1b --fmt int4 --new-tokens 48
+"""
+import argparse
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, ".")
+
+SIZES = {
+    "tiny": dict(vocab_size=2048, hidden_size=512, intermediate_size=1536,
+                 num_hidden_layers=4, num_attention_heads=8,
+                 num_key_value_heads=4, head_dim=64),
+    "1b": dict(vocab_size=32768, hidden_size=2048, intermediate_size=8192,
+               num_hidden_layers=16, num_attention_heads=32,
+               num_key_value_heads=8, head_dim=64,
+               tie_word_embeddings=True),
+    "3b": dict(vocab_size=32768, hidden_size=3072,
+               intermediate_size=8192, num_hidden_layers=28,
+               num_attention_heads=24, num_key_value_heads=8, head_dim=128,
+               tie_word_embeddings=True),
+    "8b": dict(vocab_size=32768, hidden_size=4096,
+               intermediate_size=14336, num_hidden_layers=32,
+               num_attention_heads=32, num_key_value_heads=8),
+}
+
+
+def measure_decode(params, cfg, batch, prompt_len, new_tokens, rounds=5):
+    from any4_tpu.models import generate, llama
+
+    prompt = jax.random.randint(jax.random.PRNGKey(1), (batch, prompt_len),
+                                0, cfg.vocab_size)
+    caches = llama.init_kv_caches(cfg, batch, prompt_len + new_tokens + 2)
+    logits, caches = generate.prefill(params, cfg, prompt, caches)
+    tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    _, caches = generate.decode_step(params, cfg, tok,
+                                     jnp.int32(prompt_len), caches)
+    best = float("inf")
+    for _ in range(rounds):
+        cur, cc = tok, caches
+        t0 = time.perf_counter()
+        for i in range(new_tokens):
+            lg, cc = generate.decode_step(
+                params, cfg, cur, jnp.int32(prompt_len + 1 + i), cc)
+            cur = jnp.argmax(lg, axis=-1).astype(jnp.int32)
+        jax.block_until_ready(cur)
+        best = min(best, (time.perf_counter() - t0) / new_tokens)
+    return best  # s/token
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--size", default="1b", choices=sorted(SIZES))
+    p.add_argument("--fmt", default="int4",
+                   choices=["int4", "int8", "any4", "nf4"])
+    p.add_argument("--batch", type=int, default=1)
+    p.add_argument("--prompt-len", type=int, default=128)
+    p.add_argument("--new-tokens", type=int, default=32)
+    p.add_argument("--group-size", type=int, default=128)
+    p.add_argument("--kmeans-iters", type=int, default=6)
+    p.add_argument("--skip-bf16", action="store_true")
+    args = p.parse_args()
+
+    from any4_tpu.models import llama
+    from any4_tpu.quant import api
+
+    cfg = llama.LlamaConfig(**SIZES[args.size])
+    t0 = time.time()
+    params = llama.init_params(cfg, jax.random.PRNGKey(0))
+    jax.block_until_ready(params["layers"][0]["q_proj"])
+    nbytes = api.model_size_bytes(params)
+    print(f"init {args.size}: {nbytes/1e9:.2f} GB in {time.time()-t0:.0f}s",
+          file=sys.stderr)
+
+    out = {"size": args.size, "batch": args.batch,
+           "model_gb": round(nbytes / 1e9, 3)}
+    if not args.skip_bf16:
+        spt = measure_decode(params, cfg, args.batch, args.prompt_len,
+                             args.new_tokens)
+        out["bf16_tok_s"] = round(args.batch / spt, 2)
+        print(f"bf16 decode: {out['bf16_tok_s']} tok/s", file=sys.stderr)
+
+    t0 = time.time()
+    kw = dict(kmeans_iters=args.kmeans_iters) if args.fmt == "any4" else {}
+    qp = api.quantize_model(params, fmt=args.fmt,
+                            group_size=args.group_size, **kw)
+    jax.block_until_ready(qp["layers"][0]["q_proj"].packed)
+    qbytes = api.model_size_bytes(qp)
+    print(f"quantized in {time.time()-t0:.0f}s -> {qbytes/1e9:.2f} GB",
+          file=sys.stderr)
+    out["quant_gb"] = round(qbytes / 1e9, 3)
+
+    spt = measure_decode(qp, cfg, args.batch, args.prompt_len,
+                         args.new_tokens)
+    out[f"{args.fmt}_tok_s"] = round(args.batch / spt, 2)
+    print(f"{args.fmt} decode: {out[f'{args.fmt}_tok_s']} tok/s",
+          file=sys.stderr)
+    if "bf16_tok_s" in out:
+        out["speedup"] = round(out[f"{args.fmt}_tok_s"]
+                               / out["bf16_tok_s"], 3)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
