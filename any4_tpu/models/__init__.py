@@ -1,1 +1,2 @@
-from . import checkpoint, generate, llama, loader, mixtral, opt  # noqa: F401
+from . import (checkpoint, fuse, generate, llama, loader, mixtral,  # noqa: F401
+               opt)

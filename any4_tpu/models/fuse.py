@@ -1,0 +1,71 @@
+"""Projection fusion: merge {q,k,v} and {gate,up} into single linears.
+
+Decode launches one kernel per linear; fusing the three attention input
+projections (shared input, shared k) and the two MLP input projections cuts
+kernel launches per layer from 7 to 4 and gives each launch a larger output
+block (better MXU utilization and less dispatch overhead). Works on dense
+weights and on QuantizedTensors (codes/scales/LUTs concatenate along the
+output dim because all parts share the k axis and group geometry) -- so a
+model can be quantized first and fused after, or vice versa.
+
+The forward (models/llama.py attention/mlp) automatically uses
+``qkv_proj``/``gateup_proj`` when present.
+"""
+from __future__ import annotations
+
+from typing import Dict, List
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.linear import QuantizedTensor
+
+
+def concat_quantized(parts: List[QuantizedTensor]) -> QuantizedTensor:
+    """Concatenate quantized weights along the output (n) dimension."""
+    first = parts[0]
+    for p in parts[1:]:
+        assert p.fmt == first.fmt and p.group_size == first.group_size, \
+            "fused projections must share quantization format/group"
+        assert p.shape[1] == first.shape[1], "fused projections must share k"
+        assert p.row_shards == first.row_shards
+    packed = jnp.concatenate([p.packed for p in parts], axis=0)
+    scales = jnp.concatenate([p.scales for p in parts], axis=1)
+    zeros = jnp.concatenate([p.zeros for p in parts], axis=1)
+    if first.lut is None:
+        lut = None
+    elif first.lut.shape[0] == first.shape[0]:  # per-row LUTs
+        lut = jnp.concatenate([p.lut for p in parts], axis=0)
+    else:  # shared global table
+        lut = first.lut
+    n_total = sum(p.shape[0] for p in parts)
+    return QuantizedTensor(packed, scales, zeros, lut, first.fmt,
+                           first.group_size, (n_total, first.shape[1]),
+                           first.dtype, first.row_shards)
+
+
+def _concat(parts):
+    if isinstance(parts[0], QuantizedTensor):
+        return concat_quantized(parts)
+    return jnp.concatenate(parts, axis=0)
+
+
+def fuse_projections(params: Dict) -> Dict:
+    """Return a new param tree with q/k/v -> qkv_proj and gate/up ->
+    gateup_proj fused (llama-family layers only; layers without those keys
+    are left untouched)."""
+    from ..quant.api import _copy_tree
+    out = _copy_tree(params)
+    for layer in out.get("layers", []):
+        if all(k in layer for k in ("q_proj", "k_proj", "v_proj")):
+            layer["qkv_proj"] = _concat(
+                [layer.pop("q_proj"), layer.pop("k_proj"),
+                 layer.pop("v_proj")])
+            biases = [layer.pop(b, None)
+                      for b in ("q_bias", "k_bias", "v_bias")]
+            if all(b is not None for b in biases):
+                layer["qkv_bias"] = jnp.concatenate(biases)
+        if all(k in layer for k in ("gate_proj", "up_proj")):
+            layer["gateup_proj"] = _concat(
+                [layer.pop("gate_proj"), layer.pop("up_proj")])
+    return out

@@ -151,9 +151,15 @@ def attention(layer: Dict, cfg: LlamaConfig, x: jax.Array,
     if capture is not None:
         for nm in ("q_proj", "k_proj", "v_proj"):
             _capture(capture, f"{prefix}{nm}", x)
-    q = _linearize(x, layer["q_proj"], layer.get("q_bias"), **kw)
-    k = _linearize(x, layer["k_proj"], layer.get("k_bias"), **kw)
-    v = _linearize(x, layer["v_proj"], layer.get("v_bias"), **kw)
+    if "qkv_proj" in layer:  # fused projections (models/fuse.py)
+        qkv = _linearize(x, layer["qkv_proj"], layer.get("qkv_bias"), **kw)
+        q = qkv[..., :nq * hd]
+        k = qkv[..., nq * hd:(nq + nkv) * hd]
+        v = qkv[..., (nq + nkv) * hd:]
+    else:
+        q = _linearize(x, layer["q_proj"], layer.get("q_bias"), **kw)
+        k = _linearize(x, layer["k_proj"], layer.get("k_bias"), **kw)
+        v = _linearize(x, layer["v_proj"], layer.get("v_bias"), **kw)
     q = q.reshape(b, t, nq, hd)
     k = k.reshape(b, t, nkv, hd)
     v = v.reshape(b, t, nkv, hd)
@@ -205,8 +211,13 @@ def mlp(layer: Dict, x: jax.Array,
     if capture is not None:
         _capture(capture, f"{prefix}gate_proj", x)
         _capture(capture, f"{prefix}up_proj", x)
-    g = _linearize(x, layer["gate_proj"], **kw)
-    u = _linearize(x, layer["up_proj"], **kw)
+    if "gateup_proj" in layer:  # fused projections (models/fuse.py)
+        gu = _linearize(x, layer["gateup_proj"], **kw)
+        f2 = gu.shape[-1] // 2
+        g, u = gu[..., :f2], gu[..., f2:]
+    else:
+        g = _linearize(x, layer["gate_proj"], **kw)
+        u = _linearize(x, layer["up_proj"], **kw)
     h = jax.nn.silu(g.astype(jnp.float32)).astype(x.dtype) * u
     if capture is not None:
         _capture(capture, f"{prefix}down_proj", h)

@@ -34,7 +34,8 @@ from ..models import llama
 from ..ops import linear as lin
 
 # column-parallel leaves: shard output dim; row-parallel: shard input dim
-_COL_KEYS = ("q_proj", "k_proj", "v_proj", "gate_proj", "up_proj")
+_COL_KEYS = ("q_proj", "k_proj", "v_proj", "gate_proj", "up_proj",
+             "qkv_proj", "gateup_proj")
 _ROW_KEYS = ("o_proj", "down_proj")
 _REPL_KEYS = ("input_layernorm", "post_attention_layernorm", "norm",
               "embed_tokens", "lm_head")

@@ -28,6 +28,7 @@ from ..ops import linear as lin
 DEFAULT_LINEAR_KEYS = (
     "q_proj", "k_proj", "v_proj", "o_proj",
     "gate_proj", "up_proj", "down_proj",
+    "qkv_proj", "gateup_proj",
     "fc1", "fc2", "out_proj", "lm_head",
     "w1", "w2", "w3", "wq", "wk", "wv", "wo",
 )

@@ -83,21 +83,22 @@ def _decode_batch(params, cfg, tokens, seq_lens, tables, k_pages, v_pages,
         tables, (seq_lens // page_size)[:, None], axis=1)  # [b, 1]
     offsets = (seq_lens % page_size)[:, None]
 
-    ctx_pos = jnp.arange(max_ctx)[None, :]
-    attn_mask = jnp.where(ctx_pos <= seq_lens[:, None], 0.0,
-                          -1e9)[:, None, None, :].astype(jnp.float32)
-
     hd = cfg.head_dim_
     nq, nkv = cfg.num_attention_heads, cfg.num_key_value_heads
-    scale = 1.0 / jnp.sqrt(hd).astype(jnp.float32)
 
     new_k, new_v = list(k_pages), list(v_pages)
     for li, layer in enumerate(params["layers"]):
         h = llama.rms_norm(x, layer["input_layernorm"], cfg.rms_norm_eps)
         from ..ops import linear as lin
-        q = lin.linear(h, layer["q_proj"], layer.get("q_bias"))
-        k = lin.linear(h, layer["k_proj"], layer.get("k_bias"))
-        v = lin.linear(h, layer["v_proj"], layer.get("v_bias"))
+        if "qkv_proj" in layer:  # fused projections (models/fuse.py)
+            qkv = lin.linear(h, layer["qkv_proj"], layer.get("qkv_bias"))
+            q = qkv[..., :nq * hd]
+            k = qkv[..., nq * hd:(nq + nkv) * hd]
+            v = qkv[..., (nq + nkv) * hd:]
+        else:
+            q = lin.linear(h, layer["q_proj"], layer.get("q_bias"))
+            k = lin.linear(h, layer["k_proj"], layer.get("k_bias"))
+            v = lin.linear(h, layer["v_proj"], layer.get("v_bias"))
         q = llama.apply_rope(q.reshape(b, 1, nq, hd), cos, sin)
         k = llama.apply_rope(k.reshape(b, 1, nkv, hd), cos, sin)
         v = v.reshape(b, 1, nkv, hd)
@@ -107,17 +108,11 @@ def _decode_batch(params, cfg, tokens, seq_lens, tables, k_pages, v_pages,
         new_v[li] = kvc.write_tokens(new_v[li], v.astype(new_v[li].dtype),
                                      page_ids, offsets)
 
-        kctx = kvc.gather_ctx(new_k[li], tables)     # [b, max_ctx, nkv, hd]
-        vctx = kvc.gather_ctx(new_v[li], tables)
-        rep = nq // nkv
-        kx = jnp.repeat(kctx, rep, axis=2)
-        vx = jnp.repeat(vctx, rep, axis=2)
-        logits_a = jnp.einsum("bthd,bshd->bhts", q.astype(jnp.float32),
-                              kx.astype(jnp.float32)) * scale
-        logits_a = logits_a + attn_mask
-        probs = jax.nn.softmax(logits_a, axis=-1).astype(x.dtype)
-        out = jnp.einsum("bhts,bshd->bthd", probs, vx.astype(x.dtype))
-        out = out.reshape(b, 1, nq * hd)
+        # flash paged attention over each slot's pages (the new token was
+        # just written at position seq_len, so the visible length is +1)
+        out = kvc.paged_attention(q[:, 0], new_k[li], new_v[li],
+                                  seq_lens + 1, tables)
+        out = out.astype(x.dtype).reshape(b, 1, nq * hd)
         out = lin.linear(out, layer["o_proj"], layer.get("o_bias"))
         x = x + out
         h = llama.rms_norm(x, layer["post_attention_layernorm"],

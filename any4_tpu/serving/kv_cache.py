@@ -4,16 +4,17 @@ The reference has no serving layer (SURVEY.md: "not a serving engine");
 this is the TPU build's new scope (BASELINE.json north star). Design is
 vLLM-style adapted to XLA's static shapes:
 
-- one page pool per layer: ``k_pages/v_pages [num_pages, page_size, n_kv,
-  head_dim]``;
+- one page pool per layer: ``k_pages/v_pages [n_kv, num_pages, page_size,
+  head_dim]`` (head-major, the layout the TPU paged-attention flash kernel
+  consumes);
 - a page table ``[max_seqs, max_pages_per_seq] int32`` maps each sequence
   slot's logical page index to a physical page;
 - page allocation/free runs host-side (a numpy free list) between jitted
   steps; the device-side write/read paths are pure gathers/scatters with
   static shapes, so decode compiles once;
-- attention gathers each slot's pages into a ``[b, max_ctx]`` view and runs
-  masked attention (an O(max_ctx) dense read -- a fused paged-attention
-  Pallas kernel is the next optimization step).
+- decode attention runs the fused Pallas paged-attention flash kernel
+  (jax.experimental.pallas.ops.tpu.paged_attention) on TPU; CPU/test
+  backends fall back to a dense gather + masked attention.
 """
 from __future__ import annotations
 
@@ -28,7 +29,7 @@ import numpy as np
 
 @dataclass
 class PagedKVCache:
-    k_pages: List[jax.Array]   # per layer [P, ps, n_kv, hd]
+    k_pages: List[jax.Array]   # per layer [n_kv, P, ps, hd]
     v_pages: List[jax.Array]
     page_size: int
 
@@ -36,7 +37,7 @@ class PagedKVCache:
     def create(cls, cfg, num_pages: int, page_size: int = 16, dtype=None):
         dtype = dtype or cfg.dtype
         hd = cfg.head_dim_
-        shape = (num_pages, page_size, cfg.num_key_value_heads, hd)
+        shape = (cfg.num_key_value_heads, num_pages, page_size, hd)
         return cls(
             [jnp.zeros(shape, dtype) for _ in range(cfg.num_hidden_layers)],
             [jnp.zeros(shape, dtype) for _ in range(cfg.num_hidden_layers)],
@@ -77,24 +78,62 @@ def write_tokens(pages: jax.Array, kv: jax.Array, page_ids: jax.Array,
                  offsets: jax.Array) -> jax.Array:
     """Scatter per-slot new tokens into the page pool.
 
-    pages: [P, ps, h, d]; kv: [b, t, h, d] new values; page_ids/offsets:
+    pages: [h, P, ps, d]; kv: [b, t, h, d] new values; page_ids/offsets:
     [b, t] physical page and in-page offset per token (garbage entries
-    should point at page 0 with a separate mask handled by never reading
-    them -- we reserve page 0 as scratch when slots are inactive).
+    should point at page 0, the reserved scratch sink, so inactive slots
+    never corrupt live pages).
     """
     b, t, h, d = kv.shape
-    flat_pages = pages.reshape(-1, h, d)
-    idx = (page_ids * pages.shape[1] + offsets).reshape(-1)
-    flat_pages = flat_pages.at[idx].set(kv.reshape(-1, h, d))
-    return flat_pages.reshape(pages.shape)
+    flat = pages.reshape(h, -1, d)                  # [h, P*ps, d]
+    idx = (page_ids * pages.shape[2] + offsets).reshape(-1)
+    vals = kv.transpose(2, 0, 1, 3).reshape(h, b * t, d)
+    flat = flat.at[:, idx].set(vals)
+    return flat.reshape(pages.shape)
 
 
 def gather_ctx(pages: jax.Array, table: jax.Array) -> jax.Array:
-    """Gather a dense [b, max_ctx, h, d] context view from the page pool.
-
-    table: [b, pages_per_seq] physical page ids.
-    """
+    """Gather a dense [b, max_ctx, h, d] context view from the page pool
+    (CPU fallback path). table: [b, pages_per_seq] physical page ids."""
+    h, P, ps, d = pages.shape
     b, pps = table.shape
-    ps = pages.shape[1]
-    g = pages[table.reshape(-1)]                    # [b*pps, ps, h, d]
-    return g.reshape(b, pps * ps, *pages.shape[2:])
+    g = pages[:, table.reshape(-1)]                 # [h, b*pps, ps, d]
+    g = g.reshape(h, b, pps * ps, d)
+    return g.transpose(1, 2, 0, 3)                  # [b, ctx, h, d]
+
+
+def paged_attention(q: jax.Array, k_pages: jax.Array, v_pages: jax.Array,
+                    seq_lens: jax.Array, table: jax.Array,
+                    pages_per_compute_block: int = 4) -> jax.Array:
+    """Flash paged attention for decode: q [b, nq, d] -> out [b, nq, d].
+
+    Uses the TPU Pallas kernel when on TPU; otherwise a dense-gather
+    reference (identical math, O(3x) more HBM traffic).
+    """
+    b, nq, d = q.shape
+    h = k_pages.shape[0]
+    if jax.default_backend() == "tpu":
+        from jax.experimental.pallas.ops.tpu.paged_attention import (
+            paged_attention as pa)
+        scale = 1.0 / np.sqrt(d)
+        pps = table.shape[1]
+        blk = min(pages_per_compute_block, pps)
+        while pps % blk:
+            blk -= 1
+        return pa(
+            (q * scale).astype(k_pages.dtype), k_pages, v_pages,
+            seq_lens.astype(jnp.int32), table.astype(jnp.int32),
+            pages_per_compute_block=blk)
+    # dense fallback
+    rep = nq // h
+    kctx = gather_ctx(k_pages, table)               # [b, ctx, h, d]
+    vctx = gather_ctx(v_pages, table)
+    kx = jnp.repeat(kctx, rep, axis=2)
+    vx = jnp.repeat(vctx, rep, axis=2)
+    scale = 1.0 / np.sqrt(d)
+    logits = jnp.einsum("bhd,bshd->bhs", q.astype(jnp.float32),
+                        kx.astype(jnp.float32)) * scale
+    ctx_pos = jnp.arange(kctx.shape[1])[None, None, :]
+    mask = jnp.where(ctx_pos < seq_lens[:, None, None], 0.0, -1e9)
+    probs = jax.nn.softmax(logits + mask, axis=-1)
+    out = jnp.einsum("bhs,bshd->bhd", probs.astype(vx.dtype), vx)
+    return out

@@ -148,3 +148,43 @@ class TestCheckpoint:
         l1, _ = llama.forward(loaded, cfg2, ids, interpret=True)
         np.testing.assert_allclose(np.asarray(l0, np.float32),
                                    np.asarray(l1, np.float32), atol=1e-5)
+
+
+class TestFusedProjections:
+    def test_fused_matches_unfused_dense(self, tiny):
+        from any4_tpu.models import fuse
+        cfg, params = tiny
+        ids = jax.random.randint(jax.random.PRNGKey(30), (1, 8), 0,
+                                 cfg.vocab_size)
+        base, _ = llama.forward(params, cfg, ids)
+        fused = fuse.fuse_projections(params)
+        assert "qkv_proj" in fused["layers"][0]
+        assert "q_proj" not in fused["layers"][0]
+        out, _ = llama.forward(fused, cfg, ids)
+        np.testing.assert_allclose(np.asarray(out, np.float32),
+                                   np.asarray(base, np.float32),
+                                   atol=2e-2, rtol=2e-2)
+
+    def test_fused_matches_unfused_quantized(self, tiny):
+        from any4_tpu.models import fuse
+        cfg, params = tiny
+        qp = api.quantize_model(params, fmt="int4", group_size=32)
+        ids = jax.random.randint(jax.random.PRNGKey(31), (1, 8), 0,
+                                 cfg.vocab_size)
+        base, _ = llama.forward(qp, cfg, ids, interpret=True)
+        fused = fuse.fuse_projections(qp)
+        out, _ = llama.forward(fused, cfg, ids, interpret=True)
+        # identical quantized values, just concatenated: outputs must match
+        np.testing.assert_allclose(np.asarray(out, np.float32),
+                                   np.asarray(base, np.float32),
+                                   atol=1e-3, rtol=1e-3)
+
+    def test_fused_decode_matches(self, tiny):
+        from any4_tpu.models import fuse
+        cfg, params = tiny
+        fused = fuse.fuse_projections(params)
+        ids = jax.random.randint(jax.random.PRNGKey(32), (1, 4), 0,
+                                 cfg.vocab_size)
+        o1 = generate.generate(params, cfg, ids, max_new_tokens=4)
+        o2 = generate.generate(fused, cfg, ids, max_new_tokens=4)
+        np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2))

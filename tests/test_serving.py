@@ -28,7 +28,8 @@ class TestPagedKV:
         assert 0 not in [p for ps in a.seq_pages for p in ps]  # reserved
 
     def test_write_then_gather_roundtrip(self):
-        pages = jnp.zeros((4, 8, 2, 4))
+        # head-major pool [h, P, ps, d]
+        pages = jnp.zeros((2, 4, 8, 4))
         kv = jax.random.normal(jax.random.PRNGKey(0), (1, 10, 2, 4))
         pos = np.arange(10)
         table = np.array([2, 3, 0, 0])
@@ -38,6 +39,34 @@ class TestPagedKV:
         ctx = kvc.gather_ctx(pages, jnp.asarray(table)[None])
         np.testing.assert_allclose(np.asarray(ctx[0, :10]),
                                    np.asarray(kv[0]), atol=1e-6)
+
+    def test_paged_attention_matches_dense(self):
+        # fallback path math check: gather + masked attention vs direct
+        h, P, ps, d = 2, 5, 4, 8
+        nq = 4
+        key = jax.random.PRNGKey(1)
+        kp = jax.random.normal(key, (h, P, ps, d))
+        vp = jax.random.normal(jax.random.PRNGKey(2), (h, P, ps, d))
+        q = jax.random.normal(jax.random.PRNGKey(3), (2, nq, d))
+        table = jnp.asarray([[1, 2], [3, 4]])
+        lens = jnp.asarray([6, 3])
+        out = kvc.paged_attention(q, kp, vp, lens, table)
+        # manual reference
+        for bi in range(2):
+            kctx = np.concatenate([np.asarray(kp[:, p]) for p in
+                                   np.asarray(table[bi])], axis=1)  # [h,s,d]
+            vctx = np.concatenate([np.asarray(vp[:, p]) for p in
+                                   np.asarray(table[bi])], axis=1)
+            L = int(lens[bi])
+            for qh in range(nq):
+                kh = qh // (nq // h)
+                lg = np.asarray(q[bi, qh], np.float32) @ \
+                    kctx[kh, :L].T.astype(np.float32) / np.sqrt(d)
+                pr = np.exp(lg - lg.max())
+                pr /= pr.sum()
+                ref = pr @ vctx[kh, :L].astype(np.float32)
+                np.testing.assert_allclose(np.asarray(out[bi, qh]), ref,
+                                           atol=2e-2, rtol=2e-2)
 
 
 class TestEngine:

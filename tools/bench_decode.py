@@ -36,7 +36,9 @@ SIZES = {
 }
 
 
-def measure_decode(params, cfg, batch, prompt_len, new_tokens, rounds=5):
+def prep_decode(params, cfg, batch, prompt_len, new_tokens):
+    """Prefill + warm the decode program; returns a run() closure that
+    measures seconds/token for one decode burst."""
     from any4_tpu.models import generate, llama
 
     prompt = jax.random.randint(jax.random.PRNGKey(1), (batch, prompt_len),
@@ -46,8 +48,8 @@ def measure_decode(params, cfg, batch, prompt_len, new_tokens, rounds=5):
     tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
     _, caches = generate.decode_step(params, cfg, tok,
                                      jnp.int32(prompt_len), caches)
-    best = float("inf")
-    for _ in range(rounds):
+
+    def run():
         cur, cc = tok, caches
         t0 = time.perf_counter()
         for i in range(new_tokens):
@@ -55,8 +57,9 @@ def measure_decode(params, cfg, batch, prompt_len, new_tokens, rounds=5):
                 params, cfg, cur, jnp.int32(prompt_len + 1 + i), cc)
             cur = jnp.argmax(lg, axis=-1).astype(jnp.int32)
         jax.block_until_ready(cur)
-        best = min(best, (time.perf_counter() - t0) / new_tokens)
-    return best  # s/token
+        return (time.perf_counter() - t0) / new_tokens
+
+    return run
 
 
 def main():
@@ -70,9 +73,12 @@ def main():
     p.add_argument("--group-size", type=int, default=128)
     p.add_argument("--kmeans-iters", type=int, default=6)
     p.add_argument("--skip-bf16", action="store_true")
+    p.add_argument("--fuse", action="store_true",
+                   help="fuse qkv / gate+up projections (fewer kernel "
+                        "launches per layer)")
     args = p.parse_args()
 
-    from any4_tpu.models import llama
+    from any4_tpu.models import fuse, llama
     from any4_tpu.quant import api
 
     cfg = llama.LlamaConfig(**SIZES[args.size])
@@ -83,29 +89,41 @@ def main():
     print(f"init {args.size}: {nbytes/1e9:.2f} GB in {time.time()-t0:.0f}s",
           file=sys.stderr)
 
-    out = {"size": args.size, "batch": args.batch,
+    out = {"size": args.size, "batch": args.batch, "fused": args.fuse,
            "model_gb": round(nbytes / 1e9, 3)}
-    if not args.skip_bf16:
-        spt = measure_decode(params, cfg, args.batch, args.prompt_len,
-                             args.new_tokens)
-        out["bf16_tok_s"] = round(args.batch / spt, 2)
-        print(f"bf16 decode: {out['bf16_tok_s']} tok/s", file=sys.stderr)
+    if args.fuse:
+        params_run = fuse.fuse_projections(params)
+    else:
+        params_run = params
 
     t0 = time.time()
     kw = dict(kmeans_iters=args.kmeans_iters) if args.fmt == "any4" else {}
     qp = api.quantize_model(params, fmt=args.fmt,
                             group_size=args.group_size, **kw)
-    jax.block_until_ready(qp["layers"][0]["q_proj"].packed)
+    if args.fuse:
+        qp = fuse.fuse_projections(qp)
     qbytes = api.model_size_bytes(qp)
     print(f"quantized in {time.time()-t0:.0f}s -> {qbytes/1e9:.2f} GB",
           file=sys.stderr)
     out["quant_gb"] = round(qbytes / 1e9, 3)
 
-    spt = measure_decode(qp, cfg, args.batch, args.prompt_len,
-                         args.new_tokens)
-    out[f"{args.fmt}_tok_s"] = round(args.batch / spt, 2)
-    print(f"{args.fmt} decode: {out[f'{args.fmt}_tok_s']} tok/s",
-          file=sys.stderr)
+    # the shared TPU pool flips between fast/slow regimes over time, so the
+    # two models MUST be measured in interleaved rounds (minima compared)
+    runners = {}
+    if not args.skip_bf16:
+        runners["bf16"] = prep_decode(params_run, cfg, args.batch,
+                                      args.prompt_len, args.new_tokens)
+    runners[args.fmt] = prep_decode(qp, cfg, args.batch, args.prompt_len,
+                                    args.new_tokens)
+    best = {k: float("inf") for k in runners}
+    for r in range(5):
+        for k, run in runners.items():
+            best[k] = min(best[k], run())
+        print(f"round {r}: " + ", ".join(
+            f"{k} {args.batch / v:.1f} tok/s" for k, v in best.items()),
+            file=sys.stderr)
+    for k, v in best.items():
+        out[f"{k}_tok_s"] = round(args.batch / v, 2)
     if "bf16_tok_s" in out:
         out["speedup"] = round(out[f"{args.fmt}_tok_s"]
                                / out["bf16_tok_s"], 3)
