@@ -185,7 +185,7 @@ def quantized_matmul_padded(
     del use_gather  # the gather unit is always used (interpreter emulates)
     mp, kp = x.shape
     np_ = packed.shape[0]
-    assert kp % PACK_BLOCK == 0 and mp % 8 == 0
+    assert kp % PACK_BLOCK == 0 and (mp <= 16 or mp % 16 == 0)
     assert np_ % block_n == 0
     nkb = kp // PACK_BLOCK
     kbs = 2 if nkb % 2 == 0 else 1   # k-blocks fused per grid step
@@ -300,7 +300,10 @@ def quantized_matmul(
         zeros_t = jnp.pad(zeros_t, ((0, rowpad), (0, 0)))
         kp = kpa
 
-    mp = _round_up(max(m, 16), 16)
+    # m <= 16 runs as a full-dim (sub-tile) block with NO padding: on the
+    # decode hot path (m=1) the wrapper then adds zero extra device ops
+    # around the single pallas dispatch
+    mp = m if m <= 16 else _round_up(m, 16)
     bn = min(block_n, _round_up(np_full, 128))
     npad = _round_up(np_full, bn)
 

@@ -111,7 +111,9 @@ def paged_attention(q: jax.Array, k_pages: jax.Array, v_pages: jax.Array,
     """
     b, nq, d = q.shape
     h = k_pages.shape[0]
-    if jax.default_backend() == "tpu":
+    # the flash kernel's blocks tile head_dim on the lane axis: requires
+    # head_dim % 128 == 0 (validated on hardware; hd=64 fails to lower)
+    if jax.default_backend() == "tpu" and d % 128 == 0:
         from jax.experimental.pallas.ops.tpu.paged_attention import (
             paged_attention as pa)
         scale = 1.0 / np.sqrt(d)
