@@ -36,12 +36,18 @@ class DatasetConfig:
 # reference data_gptq.py:223-229 + data.py:13-35 (subset relevant to ppl)
 task_dataset_configs: Dict[str, DatasetConfig] = {
     "wikitext-2": DatasetConfig("wikitext", "wikitext-2-raw-v1", "test"),
+    "wikitext-103": DatasetConfig("wikitext", "wikitext-103-raw-v1", "test"),
     "ptb": DatasetConfig("ptb_text_only", "penn_treebank", "test",
                          field="sentence", join=" "),
     "c4": DatasetConfig("allenai/c4", "en", "validation"),
+    "c4-new": DatasetConfig("allenai/c4", "en", "validation"),
     "pile": DatasetConfig("mit-han-lab/pile-val-backup", None, "validation"),
     "codeparrot": DatasetConfig("codeparrot/codeparrot-clean-valid", None,
                                 "train", field="content"),
+    "openwebtext": DatasetConfig("openwebtext", None, "train"),
+    "lambada": DatasetConfig("lambada", None, "test"),
+    "bookcorpus": DatasetConfig("bookcorpus", None, "train"),
+    "tiny-shakespeare": DatasetConfig("tiny_shakespeare", None, "test"),
 }
 
 
@@ -100,3 +106,34 @@ def synthetic_tokens(vocab_size: int, n_tokens: int = 16384,
         if rep[i]:
             ids[i] = ids[i - 1]
     return ids.astype(np.int32)
+
+
+def get_calibration_loader(task: str, tokenizer, nsamples: int = 128,
+                           seqlen: int = 2048, seed: int = 0) -> np.ndarray:
+    """GPTQ-style calibration sampler (reference data_gptq.py get_loaders):
+    draw ``nsamples`` random ``seqlen``-token excerpts from the task's train
+    corpus with a fixed seed. Returns int32 [nsamples, seqlen]."""
+    train_splits = {"wikitext-2": "train", "ptb": "train", "c4": "train",
+                    "pile": "validation"}
+    cfg = task_dataset_configs.get(task)
+    if cfg is None:
+        raise ValueError(f"unknown task {task!r}")
+    from dataclasses import replace as _rep
+    cfg = _rep(cfg, split=train_splits.get(task, "train"))
+    try:
+        from datasets import load_dataset
+        ds = load_dataset(cfg.path, cfg.name, split=cfg.split)
+    except Exception as e:
+        raise DatasetUnavailable(
+            f"dataset {task!r} unavailable (offline?): {e}") from e
+    text = cfg.join.join(row[cfg.field] for row in ds)
+    if hasattr(tokenizer, "encode"):
+        ids = np.asarray(tokenizer.encode(text), np.int32)
+    else:
+        ids = np.asarray(tokenizer(text)["input_ids"], np.int32)
+    rng = np.random.RandomState(seed)
+    out = np.empty((nsamples, seqlen), np.int32)
+    for i in range(nsamples):
+        start = rng.randint(0, max(len(ids) - seqlen - 1, 1))
+        out[i] = ids[start:start + seqlen]
+    return out

@@ -94,7 +94,8 @@ def layer_norm(x: jax.Array, p: Dict, eps: float = 1e-5) -> jax.Array:
 
 def forward(params: Dict, cfg: OPTConfig, input_ids: jax.Array,
             positions: Optional[jax.Array] = None,
-            mask: Optional[jax.Array] = None, **kw):
+            mask: Optional[jax.Array] = None,
+            capture: Optional[dict] = None, **kw):
     """Full-sequence forward. Returns (logits, None)."""
     b, t = input_ids.shape
     if positions is None:
@@ -112,10 +113,14 @@ def forward(params: Dict, cfg: OPTConfig, input_ids: jax.Array,
     hd = cfg.hidden_size // nh
     scale = 1.0 / jnp.sqrt(hd).astype(jnp.float32)
 
-    for layer in params["layers"]:
+    from .llama import _capture
+    for li, layer in enumerate(params["layers"]):
         res = x
         h = layer_norm(x, layer["self_attn_layer_norm"]) \
             if cfg.do_layer_norm_before else x
+        if capture is not None:
+            for nm in ("q_proj", "k_proj", "v_proj"):
+                _capture(capture, f"layers.{li}.{nm}", h)
         q = lin.linear(h, layer["q_proj"], layer["q_bias"], **kw)
         k = lin.linear(h, layer["k_proj"], layer["k_bias"], **kw)
         v = lin.linear(h, layer["v_proj"], layer["v_bias"], **kw)
@@ -128,6 +133,8 @@ def forward(params: Dict, cfg: OPTConfig, input_ids: jax.Array,
             logits_a = logits_a + mask
         probs = jax.nn.softmax(logits_a, axis=-1).astype(x.dtype)
         o = jnp.einsum("bhts,bshd->bthd", probs, v).reshape(b, t, nh * hd)
+        if capture is not None:
+            _capture(capture, f"layers.{li}.out_proj", o)
         o = lin.linear(o, layer["out_proj"], layer["out_bias"], **kw)
         x = res + o
         if not cfg.do_layer_norm_before:
@@ -136,8 +143,12 @@ def forward(params: Dict, cfg: OPTConfig, input_ids: jax.Array,
         res = x
         h = layer_norm(x, layer["final_layer_norm"]) \
             if cfg.do_layer_norm_before else x
+        if capture is not None:
+            _capture(capture, f"layers.{li}.fc1", h)
         h = lin.linear(h, layer["fc1"], layer["fc1_bias"], **kw)
         h = jnp.maximum(h, 0)
+        if capture is not None:
+            _capture(capture, f"layers.{li}.fc2", h)
         h = lin.linear(h, layer["fc2"], layer["fc2_bias"], **kw)
         x = res + h
         if not cfg.do_layer_norm_before:

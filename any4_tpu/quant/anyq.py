@@ -49,6 +49,7 @@ def any4_quantize(
     keep_outliers: bool = False,
     surrogate_cluster: bool = False,
     init: str = "k-means++",
+    cluster_backend: str = "kmeans",
     kmeans_iters: int = 30,
     seed: int = 0,
     nnq: bool = False,
@@ -111,9 +112,15 @@ def any4_quantize(
     surrogate = w.astype(jnp.float32).reshape(x.shape) if surrogate_cluster \
         else None
 
-    lut, assign = _kmeans.kmeans_rows(
-        x, n_clusters=2**n_bit, sample_weight=sw, x_surrogate=surrogate,
-        init=init, iters=kmeans_iters, key=jax.random.PRNGKey(seed))
+    if cluster_backend == "agglomerative":
+        # reference cluster_row_agglomerative (quantize.py:420-430)
+        lut, assign = _kmeans.agglomerative_rows(
+            np.asarray(x), n_clusters=2**n_bit,
+            sample_weight=None if sw is None else np.asarray(sw))
+    else:
+        lut, assign = _kmeans.kmeans_rows(
+            x, n_clusters=2**n_bit, sample_weight=sw, x_surrogate=surrogate,
+            init=init, iters=kmeans_iters, key=jax.random.PRNGKey(seed))
 
     if keep_outliers:
         hi = x.max(axis=1, keepdims=True)

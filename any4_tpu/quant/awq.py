@@ -106,7 +106,7 @@ def run_awq(params: Dict, cfg, input_ids: jax.Array, n_bit: int = 4,
     Returns ``(awq_results, new_params)`` where awq_results records scales
     and clip ratios per layer (the reference's ``--dump_awq`` artifact).
     """
-    from ..models import llama
+    from ..models import llama, opt as opt_mod
 
     # capture each linear's input activations: rerun forward with a raw
     # store (memory-heavy for big models; calibration inputs are small)
@@ -118,9 +118,11 @@ def run_awq(params: Dict, cfg, input_ids: jax.Array, n_bit: int = 4,
         acts.setdefault(name, []).append(
             np.asarray(x.reshape(-1, x.shape[-1]), np.float32))
 
+    is_opt = "fc1" in params["layers"][0]
+    fwd = opt_mod.forward if is_opt else llama.forward
     llama._capture = capture_raw
     try:
-        llama.forward(params, cfg, input_ids, capture={})
+        fwd(params, cfg, input_ids, capture={})
     finally:
         llama._capture = orig_capture
 
@@ -132,19 +134,33 @@ def run_awq(params: Dict, cfg, input_ids: jax.Array, n_bit: int = 4,
         def act(nm):
             return jnp.asarray(np.concatenate(acts[f"layers.{i}.{nm}"]))
 
-        groups = [
-            ("input_layernorm", ("q_proj", "k_proj", "v_proj"), act("q_proj")),
-            ("v_proj", ("o_proj",), act("o_proj")),
-            ("post_attention_layernorm", ("gate_proj", "up_proj"),
-             act("gate_proj")),
-            ("up_proj", ("down_proj",), act("down_proj")),
-        ]
+        if is_opt:
+            # OPT schema (reference pre_quant.py opt adapter)
+            groups = [
+                ("self_attn_layer_norm", ("q_proj", "k_proj", "v_proj"),
+                 act("q_proj")),
+                ("v_proj", ("out_proj",), act("out_proj")),
+                ("final_layer_norm", ("fc1",), act("fc1")),
+                ("fc1", ("fc2",), act("fc2")),
+            ]
+            clip_targets = ("out_proj", "fc1", "fc2", "v_proj")
+        else:
+            groups = [
+                ("input_layernorm", ("q_proj", "k_proj", "v_proj"),
+                 act("q_proj")),
+                ("v_proj", ("o_proj",), act("o_proj")),
+                ("post_attention_layernorm", ("gate_proj", "up_proj"),
+                 act("gate_proj")),
+                ("up_proj", ("down_proj",), act("down_proj")),
+            ]
+            clip_targets = ("o_proj", "gate_proj", "up_proj", "down_proj",
+                            "v_proj")
         for prev, targets, x in groups:
             s, ratio = search_scale(x, [layer[t] for t in targets],
                                     n_grid=n_grid, n_bit=n_bit,
                                     group_size=group_size)
             s_prev = s
-            if prev == "v_proj":
+            if prev == "v_proj" and not is_opt:
                 # GQA: o_proj's input channels repeat each kv head `rep`
                 # times, so an exact fold needs the scale shared within
                 # each repeated-head block (geometric mean)
@@ -160,12 +176,16 @@ def run_awq(params: Dict, cfg, input_ids: jax.Array, n_bit: int = 4,
             for t in targets:
                 layer[t] = (layer[t].astype(jnp.float32)
                             * s[None, :]).astype(layer[t].dtype)
-            if prev.endswith("layernorm"):
-                layer[prev] = (layer[prev].astype(jnp.float32)
-                               / s_prev).astype(layer[prev].dtype)
+            if prev.endswith(("layernorm", "layer_norm")):
+                layer[prev] = _fold_norm(layer[prev], s_prev)
             else:  # fold into the producing linear's output rows
                 layer[prev] = (layer[prev].astype(jnp.float32)
                                / s_prev[:, None]).astype(layer[prev].dtype)
+                bkey = prev.replace("_proj", "_bias") \
+                    if prev.endswith("_proj") else prev + "_bias"
+                if bkey in layer:  # bias scales with its rows (OPT fc1)
+                    layer[bkey] = (layer[bkey].astype(jnp.float32)
+                                   / s_prev).astype(layer[bkey].dtype)
             results["scales"][f"layers.{i}.{prev}"] = {
                 "ratio": ratio, "scales": np.asarray(s),
                 "scales_prev": np.asarray(s_prev)}
@@ -173,14 +193,25 @@ def run_awq(params: Dict, cfg, input_ids: jax.Array, n_bit: int = 4,
                 print(f"  awq layer {i} {prev}->{targets}: ratio {ratio:.2f}")
 
         if do_clip:
-            # clip non-qkv weights (reference skips q/k, auto_clip usage)
-            for nm in ("o_proj", "gate_proj", "up_proj", "down_proj",
-                       "v_proj"):
-                x = act(nm) / (1.0 if True else 1.0)
+            # clip non-qk weights (reference skips q/k, auto_clip usage)
+            for nm in clip_targets:
+                x = act(nm)
                 layer[nm] = search_clip(x[:min(len(x), 512)], layer[nm],
                                         n_grid=max(4, n_grid // 4),
                                         n_bit=n_bit, group_size=group_size)
     return results, out
+
+
+def _fold_norm(norm, s):
+    """Fold 1/s into a normalization producer: rms weight (array) or
+    LayerNorm dict {weight, bias} (both scale, since LN output is
+    w*x_hat + b)."""
+    if isinstance(norm, dict):
+        return {"weight": (norm["weight"].astype(jnp.float32)
+                           / s).astype(norm["weight"].dtype),
+                "bias": (norm["bias"].astype(jnp.float32)
+                         / s).astype(norm["bias"].dtype)}
+    return (norm.astype(jnp.float32) / s).astype(norm.dtype)
 
 
 def apply_awq(params: Dict, awq_results: Dict) -> Dict:
@@ -193,7 +224,14 @@ def apply_awq(params: Dict, awq_results: Dict) -> Dict:
         "v_proj": ("o_proj",),
         "post_attention_layernorm": ("gate_proj", "up_proj"),
         "up_proj": ("down_proj",),
+        # OPT schema
+        "self_attn_layer_norm": ("q_proj", "k_proj", "v_proj"),
+        "final_layer_norm": ("fc1",),
+        "fc1": ("fc2",),
     }
+    if "fc1" in out["layers"][0]:
+        groups = dict(groups)
+        groups["v_proj"] = ("out_proj",)
     for key, info in awq_results.get("scales", {}).items():
         parts = key.split(".")
         layer = out["layers"][int(parts[1])]
@@ -203,12 +241,16 @@ def apply_awq(params: Dict, awq_results: Dict) -> Dict:
         for t in groups[prev]:
             layer[t] = (layer[t].astype(jnp.float32)
                         * s[None, :]).astype(layer[t].dtype)
-        if prev.endswith("layernorm"):
-            layer[prev] = (layer[prev].astype(jnp.float32)
-                           / s_prev).astype(layer[prev].dtype)
+        if prev.endswith(("layernorm", "layer_norm")):
+            layer[prev] = _fold_norm(layer[prev], s_prev)
         else:
             layer[prev] = (layer[prev].astype(jnp.float32)
                            / s_prev[:, None]).astype(layer[prev].dtype)
+            bkey = prev.replace("_proj", "_bias") \
+                if prev.endswith("_proj") else prev + "_bias"
+            if bkey in layer:
+                layer[bkey] = (layer[bkey].astype(jnp.float32)
+                               / s_prev).astype(layer[bkey].dtype)
     return out
 
 

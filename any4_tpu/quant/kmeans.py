@@ -239,3 +239,42 @@ def build_sample_weight(x: np.ndarray,
     if use_abs:
         w = np.abs(w)
     return w
+
+
+# ---------------------------------------------------------------------------
+# Agglomerative backend (reference quantize.py:420-430): CPU sklearn per row
+# ---------------------------------------------------------------------------
+
+def agglomerative_rows(x, n_clusters: int = 16, sample_weight=None):
+    """Per-row agglomerative clustering with weighted-average centroids
+    (reference ``cluster_row_agglomerative``). CPU/sklearn; rows are
+    processed in a Python loop, so this is for small matrices or parity
+    experiments -- the vectorized k-means is the production path.
+
+    Returns ``(centroids [n, n_clusters] f32 (sorted), assign [n, k] i32)``.
+    """
+    import numpy as _np
+    from sklearn.cluster import AgglomerativeClustering
+
+    x = _np.asarray(x, _np.float64)
+    n, k = x.shape
+    sw = None if sample_weight is None else _np.asarray(sample_weight)
+    cents = _np.zeros((n, n_clusters), _np.float32)
+    assign = _np.zeros((n, k), _np.int32)
+    for r in range(n):
+        labels = AgglomerativeClustering(n_clusters=n_clusters).fit(
+            x[r].reshape(-1, 1)).labels_
+        row_w = None if sw is None else (sw[r] if sw.ndim == 2 else sw)
+        vals = _np.empty(n_clusters)
+        for c in range(n_clusters):
+            m = labels == c
+            w = None if row_w is None else row_w[m]
+            if w is not None and w.sum() == 0:
+                w = None
+            vals[c] = _np.average(x[r][m], weights=w)
+        order = _np.argsort(vals)
+        inv = _np.empty_like(order)
+        inv[order] = _np.arange(n_clusters)
+        cents[r] = vals[order]
+        assign[r] = inv[labels]
+    return jnp.asarray(cents), jnp.asarray(assign)
