@@ -58,6 +58,7 @@ def _prefill_one(params, cfg, prompt, k_pages, v_pages, table_row,
                                       offsets[None]))
         new_v.append(kvc.write_tokens(v_pages[li], vc, page_ids[None],
                                       offsets[None]))
+    # (quantized pools are handled transparently by write_tokens)
     return logits[0, -1], new_k, new_v
 
 
@@ -103,10 +104,8 @@ def _decode_batch(params, cfg, tokens, seq_lens, tables, k_pages, v_pages,
         k = llama.apply_rope(k.reshape(b, 1, nkv, hd), cos, sin)
         v = v.reshape(b, 1, nkv, hd)
 
-        new_k[li] = kvc.write_tokens(new_k[li], k.astype(new_k[li].dtype),
-                                     page_ids, offsets)
-        new_v[li] = kvc.write_tokens(new_v[li], v.astype(new_v[li].dtype),
-                                     page_ids, offsets)
+        new_k[li] = kvc.write_tokens(new_k[li], k, page_ids, offsets)
+        new_v[li] = kvc.write_tokens(new_v[li], v, page_ids, offsets)
 
         # flash paged attention over each slot's pages (the new token was
         # just written at position seq_len, so the visible length is +1)
@@ -134,14 +133,16 @@ class Engine:
     def __init__(self, params, cfg, max_slots: int = 8,
                  max_ctx: int = 512, page_size: int = 16,
                  num_pages: Optional[int] = None,
-                 sample_fn: Optional[Callable] = None):
+                 sample_fn: Optional[Callable] = None,
+                 kv_quantize: bool = False):
         self.params = params
         self.cfg = cfg
         self.page_size = page_size
         self.pps = -(-max_ctx // page_size)
         self.max_slots = max_slots
         num_pages = num_pages or (max_slots * self.pps + 1)
-        self.cache = kvc.PagedKVCache.create(cfg, num_pages, page_size)
+        self.cache = kvc.PagedKVCache.create(cfg, num_pages, page_size,
+                                             quantize=kv_quantize)
         self.alloc = kvc.PageAllocator(num_pages, max_slots, self.pps)
         self.slots: List[Optional[Request]] = [None] * max_slots
         self.tokens = np.zeros(max_slots, np.int32)

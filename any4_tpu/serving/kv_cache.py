@@ -29,15 +29,27 @@ import numpy as np
 
 @dataclass
 class PagedKVCache:
-    k_pages: List[jax.Array]   # per layer [n_kv, P, ps, hd]
-    v_pages: List[jax.Array]
+    k_pages: List   # per layer [n_kv, P, ps, hd], or (int8 pages, scales)
+    v_pages: List
     page_size: int
+    quantized: bool = False
 
     @classmethod
-    def create(cls, cfg, num_pages: int, page_size: int = 16, dtype=None):
+    def create(cls, cfg, num_pages: int, page_size: int = 16, dtype=None,
+               quantize: bool = False):
+        """``quantize=True`` stores pages in int8 with per-token scales
+        (2x KV memory; the flash paged-attention kernel consumes quantized
+        pages natively via its QuantizedTensor input)."""
         dtype = dtype or cfg.dtype
         hd = cfg.head_dim_
         shape = (cfg.num_key_value_heads, num_pages, page_size, hd)
+        if quantize:
+            def mk():
+                return (jnp.zeros(shape, jnp.int8),
+                        jnp.ones(shape[:-1] + (1,), jnp.float32))
+            return cls([mk() for _ in range(cfg.num_hidden_layers)],
+                       [mk() for _ in range(cfg.num_hidden_layers)],
+                       page_size, True)
         return cls(
             [jnp.zeros(shape, dtype) for _ in range(cfg.num_hidden_layers)],
             [jnp.zeros(shape, dtype) for _ in range(cfg.num_hidden_layers)],
@@ -74,26 +86,48 @@ class PageAllocator:
         self.table[slot] = 0
 
 
-def write_tokens(pages: jax.Array, kv: jax.Array, page_ids: jax.Array,
-                 offsets: jax.Array) -> jax.Array:
+def write_tokens(pages, kv: jax.Array, page_ids: jax.Array,
+                 offsets: jax.Array):
     """Scatter per-slot new tokens into the page pool.
 
-    pages: [h, P, ps, d]; kv: [b, t, h, d] new values; page_ids/offsets:
+    pages: [h, P, ps, d] (or an (int8 pages, scales [h, P, ps, 1]) pair for
+    a quantized pool); kv: [b, t, h, d] new values; page_ids/offsets:
     [b, t] physical page and in-page offset per token (garbage entries
     should point at page 0, the reserved scratch sink, so inactive slots
     never corrupt live pages).
     """
+    if isinstance(pages, tuple):  # int8-quantized pool
+        from jax.experimental.pallas.ops.tpu.paged_attention import (
+            quantization_utils as qu)
+        qpages, scales = pages
+        b, t, h, d = kv.shape
+        amax = jnp.max(jnp.abs(kv.astype(jnp.float32)), axis=-1,
+                       keepdims=True)                       # [b, t, h, 1]
+        amax = jnp.maximum(amax, 1e-6)
+        q = qu.to_int8(kv.astype(jnp.float32), amax)
+        qpages = write_tokens(qpages, q, page_ids, offsets)
+        scales = write_tokens(scales, amax.astype(jnp.float32),
+                              page_ids, offsets)
+        return (qpages, scales)
     b, t, h, d = kv.shape
     flat = pages.reshape(h, -1, d)                  # [h, P*ps, d]
     idx = (page_ids * pages.shape[2] + offsets).reshape(-1)
     vals = kv.transpose(2, 0, 1, 3).reshape(h, b * t, d)
-    flat = flat.at[:, idx].set(vals)
+    flat = flat.at[:, idx].set(vals.astype(flat.dtype))
     return flat.reshape(pages.shape)
 
 
-def gather_ctx(pages: jax.Array, table: jax.Array) -> jax.Array:
+def gather_ctx(pages, table: jax.Array) -> jax.Array:
     """Gather a dense [b, max_ctx, h, d] context view from the page pool
-    (CPU fallback path). table: [b, pages_per_seq] physical page ids."""
+    (CPU fallback path; dequantizes int8 pools). table: [b, pages_per_seq]
+    physical page ids."""
+    if isinstance(pages, tuple):
+        from jax.experimental.pallas.ops.tpu.paged_attention import (
+            quantization_utils as qu)
+        qpages, scales = pages
+        g = gather_ctx(qpages, table).astype(jnp.float32)
+        sc = gather_ctx(scales, table)
+        return qu.from_int8(g, sc, dtype=jnp.float32)
     h, P, ps, d = pages.shape
     b, pps = table.shape
     g = pages[:, table.reshape(-1)]                 # [h, b*pps, ps, d]
@@ -110,17 +144,24 @@ def paged_attention(q: jax.Array, k_pages: jax.Array, v_pages: jax.Array,
     reference (identical math, O(3x) more HBM traffic).
     """
     b, nq, d = q.shape
-    h = k_pages.shape[0]
+    quantized = isinstance(k_pages, tuple)
+    h = (k_pages[0] if quantized else k_pages).shape[0]
     # the flash kernel's blocks tile head_dim on the lane axis: requires
     # head_dim % 128 == 0 (validated on hardware; hd=64 fails to lower)
     if jax.default_backend() == "tpu" and d % 128 == 0:
         from jax.experimental.pallas.ops.tpu.paged_attention import (
-            paged_attention as pa)
+            paged_attention as pa, quantization_utils as qu)
         scale = 1.0 / np.sqrt(d)
         pps = table.shape[1]
         blk = min(pages_per_compute_block, pps)
         while pps % blk:
             blk -= 1
+        if quantized:
+            kq = qu.QuantizedTensor(k_pages[0], k_pages[1])
+            vq = qu.QuantizedTensor(v_pages[0], v_pages[1])
+            return pa((q * scale).astype(jnp.bfloat16), kq, vq,
+                      seq_lens.astype(jnp.int32), table.astype(jnp.int32),
+                      pages_per_compute_block=blk)
         return pa(
             (q * scale).astype(k_pages.dtype), k_pages, v_pages,
             seq_lens.astype(jnp.int32), table.astype(jnp.int32),
