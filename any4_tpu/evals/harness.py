@@ -61,11 +61,16 @@ def task_done(log_dir: str, task: str) -> bool:
 
 def run_perplexity_tasks(params, cfg, tasks, tokenizer=None, seqlen=2048,
                          log_dir=None, overwrite=False, max_chunks=None,
-                         synthetic=False, progress=False) -> Dict[str, float]:
-    """Evaluate chunked perplexity on each named task; returns
-    {task: ppl}. With ``synthetic=True`` (or when a dataset is
-    unavailable offline) a deterministic synthetic stream is used and the
-    task is logged as ``synthetic:<task>``."""
+                         synthetic=False, progress=False,
+                         evaluator="chunked") -> Dict[str, float]:
+    """Evaluate perplexity on each named task; returns {task: ppl}.
+
+    ``evaluator``: "chunked" = GPTQ-style fixed-seqlen NLL over the
+    concatenated corpus (reference data_gptq.py:195-220); "stream" =
+    per-document token-weighted NLL (reference data.py:37-130). With
+    ``synthetic=True`` (or when a dataset is unavailable offline) a
+    deterministic synthetic stream is used and the task is logged as
+    ``synthetic:<task>``."""
     from . import datasets, perplexity
 
     out = {}
@@ -82,9 +87,17 @@ def run_perplexity_tasks(params, cfg, tasks, tokenizer=None, seqlen=2048,
         except datasets.DatasetUnavailable:
             name = f"synthetic:{task}"
             tokens = datasets.synthetic_tokens(cfg.vocab_size)
-        ppl = perplexity.eval_perplexity_chunked(
-            params, cfg, tokens, seqlen=seqlen, max_chunks=max_chunks,
-            progress=progress)
+        if evaluator == "stream":
+            # split the flat stream into pseudo-documents for the
+            # streaming evaluator when real documents are unavailable
+            docs = np.array_split(tokens, max(len(tokens) // (4 * seqlen),
+                                              1))
+            ppl = perplexity.eval_perplexity_stream(
+                params, cfg, docs, seqlen=seqlen)
+        else:
+            ppl = perplexity.eval_perplexity_chunked(
+                params, cfg, tokens, seqlen=seqlen, max_chunks=max_chunks,
+                progress=progress)
         out[name] = ppl
         if progress:
             print(f"{name}: ppl {ppl:.4f}")

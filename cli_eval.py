@@ -57,6 +57,11 @@ def main(argv=None):
                    help="calibrate sample weights on the default prompt")
     p.add_argument("--tasks", default="wikitext-2",
                    help="comma-separated perplexity tasks, or 'synthetic'")
+    p.add_argument("--evaluator", default="chunked",
+                   choices=["chunked", "stream"],
+                   help="chunked = GPTQ-style fixed-seqlen NLL (reference "
+                        "data_gptq.llama_eval); stream = per-document "
+                        "token-weighted NLL (reference data.eval_perplexity)")
     p.add_argument("--seqlen", type=int, default=2048)
     p.add_argument("--max-chunks", type=int, default=None)
     p.add_argument("--log-dir", default="logs/eval")
@@ -113,7 +118,8 @@ def main(argv=None):
     results = harness.run_perplexity_tasks(
         params, cfg, tasks, tokenizer=tokenizer, seqlen=args.seqlen,
         log_dir=args.log_dir, overwrite=args.overwrite_results,
-        max_chunks=args.max_chunks, synthetic=synthetic, progress=True)
+        max_chunks=args.max_chunks, synthetic=synthetic, progress=True,
+        evaluator=args.evaluator)
     print(json.dumps(results, indent=2))
     return results
 
