@@ -183,6 +183,10 @@ def quantized_matmul_padded(
     """Core padded kernel launch; returns ``y [mp, n]``. Use
     :func:`quantized_matmul` for the padding-aware entry point."""
     del use_gather  # the gather unit is always used (interpreter emulates)
+    if fmt == "int8":
+        # int8 blocks are 8x larger than packed-int4 at the same block_n;
+        # bn=1024 overflows the 16MB VMEM budget (measured on v5e)
+        block_n = min(block_n, 512)
     mp, kp = x.shape
     np_ = packed.shape[0]
     assert kp % PACK_BLOCK == 0 and (mp <= 16 or mp % 16 == 0)

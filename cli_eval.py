@@ -67,6 +67,10 @@ def main(argv=None):
     p.add_argument("--log-dir", default="logs/eval")
     p.add_argument("--overwrite-results", action="store_true")
     p.add_argument("--tokenizer-dir", default=None)
+    p.add_argument("--lm-eval-tasks", default=None,
+                   help="comma-separated lm-evaluation-harness tasks "
+                        "(requires lm_eval installed + a tokenizer)")
+    p.add_argument("--lm-eval-limit", type=int, default=None)
     args = p.parse_args(argv)
 
     from any4_tpu.evals import harness
@@ -120,6 +124,20 @@ def main(argv=None):
         log_dir=args.log_dir, overwrite=args.overwrite_results,
         max_chunks=args.max_chunks, synthetic=synthetic, progress=True,
         evaluator=args.evaluator)
+
+    if args.lm_eval_tasks:
+        from any4_tpu.evals import lm_eval_adapter
+        try:
+            lm_tasks = [t.strip() for t in args.lm_eval_tasks.split(",")]
+            lm_res = lm_eval_adapter.simple_evaluate(
+                params, cfg, tokenizer, lm_tasks, limit=args.lm_eval_limit,
+                max_length=args.seqlen)
+            for t, r in lm_res.get("results", {}).items():
+                results[f"lm-eval:{t}"] = r
+                harness.log_results(args.log_dir, f"lm-eval:{t}", r)
+        except lm_eval_adapter.LmEvalUnavailable as e:
+            print(f"lm-eval skipped: {e}", file=sys.stderr)
+
     print(json.dumps(results, indent=2))
     return results
 

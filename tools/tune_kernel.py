@@ -43,9 +43,16 @@ def main():
             fns[f"{fmt}/bn{bn}"] = (f, (x,))
 
     best = {k: float("inf") for k in fns}
-    for k, (f, a) in fns.items():
-        jax.block_until_ready(f(*a))
-        print(f"compiled {k}", flush=True)
+    for k in list(fns):
+        f, a = fns[k]
+        try:
+            jax.block_until_ready(f(*a))
+            print(f"compiled {k}", flush=True)
+        except Exception as e:
+            print(f"compile FAIL {k}: {str(e).splitlines()[0][:100]}",
+                  flush=True)
+            del fns[k]
+            del best[k]
     for r in range(args.rounds):
         for k, (f, a) in fns.items():
             t0 = time.perf_counter()
