@@ -51,6 +51,7 @@ def any4_quantize(
     init: str = "k-means++",
     cluster_backend: str = "kmeans",
     kmeans_iters: int = 30,
+    n_init: int = 1,
     seed: int = 0,
     nnq: bool = False,
     nnq_args: Optional[dict] = None,
@@ -120,7 +121,8 @@ def any4_quantize(
     else:
         lut, assign = _kmeans.kmeans_rows(
             x, n_clusters=2**n_bit, sample_weight=sw, x_surrogate=surrogate,
-            init=init, iters=kmeans_iters, key=jax.random.PRNGKey(seed))
+            init=init, iters=kmeans_iters, key=jax.random.PRNGKey(seed),
+            n_init=n_init)
 
     if keep_outliers:
         hi = x.max(axis=1, keepdims=True)

@@ -156,11 +156,14 @@ def kmeans_rows(x: jax.Array, n_clusters: int = 16,
                 x_surrogate: Optional[jax.Array] = None,
                 init: str = "k-means++", iters: int = 30,
                 key: Optional[jax.Array] = None,
-                row_chunk: int = 64) -> tuple[jax.Array, jax.Array]:
+                row_chunk: int = 64,
+                n_init: int = 1) -> tuple[jax.Array, jax.Array]:
     """Cluster every row of ``x`` [n, k] into ``n_clusters`` scalar centroids.
 
     Returns ``(centroids [n, n_clusters] f32, assign [n, k] int32)``.
     ``sample_weight`` may be ``[k]`` (shared across rows) or ``[n, k]``.
+    ``n_init > 1`` reruns with different seeds and keeps, per row, the
+    restart with the lowest weighted inertia (reference kmeans.py:180-188).
     """
     x = jnp.asarray(x, dtype=jnp.float32)
     r, k = x.shape
@@ -175,8 +178,28 @@ def kmeans_rows(x: jax.Array, n_clusters: int = 16,
             x.shape)
     surrogate = x if x_surrogate is None else jnp.asarray(x_surrogate,
                                                           jnp.float32)
-    cents, assign = _kmeans_impl(x, weights, surrogate, key, n_clusters,
-                                 iters, init, min(row_chunk, r))
+
+    if n_init > 1 and init in ("k-means++", "random"):
+        best = None
+        for t in range(n_init):
+            # t=0 uses the raw key so n_init>1 strictly supersets n_init=1
+            kt = key if t == 0 else jax.random.fold_in(key, t)
+            cents, assign = _kmeans_impl(x, weights, surrogate, kt,
+                                         n_clusters, iters, init,
+                                         min(row_chunk, r))
+            vals = jnp.take_along_axis(cents, assign, axis=1)
+            inertia = jnp.sum(weights * (x - vals) ** 2, axis=1)  # [r]
+            if best is None:
+                best = (cents, assign, inertia)
+            else:
+                better = inertia < best[2]
+                best = (jnp.where(better[:, None], cents, best[0]),
+                        jnp.where(better[:, None], assign, best[1]),
+                        jnp.minimum(inertia, best[2]))
+        cents, assign = best[0], best[1]
+    else:
+        cents, assign = _kmeans_impl(x, weights, surrogate, key, n_clusters,
+                                     iters, init, min(row_chunk, r))
     # sort centroids ascending so codes are monotone in value (stable layout)
     order = jnp.argsort(cents, axis=1)
     cents_sorted = jnp.take_along_axis(cents, order, axis=1)

@@ -87,3 +87,16 @@ class TestBuildSampleWeight:
         import pytest as _pytest
         with _pytest.raises(ValueError):
             kmeans.build_sample_weight(np.ones(4), "bogus_spec")
+
+
+class TestNInitRestarts:
+    def test_n_init_never_worse(self):
+        import jax as _jax
+        import jax.numpy as _jnp
+        x = _jax.random.normal(_jax.random.PRNGKey(3), (8, 256))
+        c1, a1 = kmeans.kmeans_rows(x, 16, iters=8, n_init=1)
+        c4, a4 = kmeans.kmeans_rows(x, 16, iters=8, n_init=4)
+        def inertia(c, a):
+            vals = np.take_along_axis(np.asarray(c), np.asarray(a), 1)
+            return ((np.asarray(x) - vals) ** 2).sum(1)
+        assert (inertia(c4, a4) <= inertia(c1, a1) + 1e-5).all()
