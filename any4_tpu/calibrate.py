@@ -62,18 +62,17 @@ def calibrate(
         batch = input_ids[i:i + batch_size]
         store: Dict[str, tuple] = {}
         forward_fn(params, cfg, batch, capture=store)
-        for name, (s, c) in store.items():
+        for name, (sa, ss, c) in store.items():
             if layers is not None and name not in layers:
                 continue
             if name in capture:
-                ps, pc = capture[name]
-                capture[name] = (ps + s, pc + c)
+                pa, ps, pc = capture[name]
+                capture[name] = (pa + sa, ps + ss, pc + c)
             else:
-                capture[name] = (s, c)
+                capture[name] = (sa, ss, c)
     out = {}
-    for name, (s, c) in capture.items():
-        mean = s / c
-        out[name] = mean if use_abs else mean  # sums are |x| already
+    for name, (sa, ss, c) in capture.items():
+        out[name] = (sa if use_abs else ss) / c
     return out
 
 

@@ -109,8 +109,8 @@ def diff_models(params_a: Dict, params_b: Dict, cfg, input_ids,
     la, _ = forward_fn(params_a, cfg, input_ids, capture=store_a)
     lb, _ = forward_fn(params_b, cfg, input_ids, capture=store_b)
     for name in store_a:
-        sa, ca = store_a[name]
-        sb, cb = store_b[name]
+        sa, _, ca = store_a[name]
+        sb, _, cb = store_b[name]
         ma = np.asarray(sa) / ca
         mb = np.asarray(sb) / cb
         mse = float(((ma - mb) ** 2).mean())

@@ -274,14 +274,20 @@ def forward(params: Dict, cfg: LlamaConfig, input_ids: jax.Array,
 
 
 def _capture(store: dict, name: str, x: jax.Array):
-    s = jnp.sum(jnp.abs(x.astype(jnp.float32)),
-                axis=tuple(range(x.ndim - 1)))
+    """Accumulate per-channel activation statistics: (sum |x|, sum x,
+    count). The reference's hooks support signed or absolute accumulation
+    via an ``abs`` flag (calibrate.py:41-66); we record both and let the
+    consumer choose."""
+    xf = x.astype(jnp.float32)
+    axes = tuple(range(x.ndim - 1))
+    s_abs = jnp.sum(jnp.abs(xf), axis=axes)
+    s_sgn = jnp.sum(xf, axis=axes)
     cnt = int(np_prod(x.shape[:-1]))
     if name in store:
-        ps, pc = store[name]
-        store[name] = (ps + s, pc + cnt)
+        pa, psn, pc = store[name]
+        store[name] = (pa + s_abs, psn + s_sgn, pc + cnt)
     else:
-        store[name] = (s, cnt)
+        store[name] = (s_abs, s_sgn, cnt)
 
 
 def np_prod(shape) -> int:

@@ -74,8 +74,10 @@ class TestForward:
             for nm in ("q_proj", "k_proj", "v_proj", "o_proj", "gate_proj",
                        "up_proj", "down_proj"):
                 assert f"layers.{i}.{nm}" in cap
-        s, c = cap["layers.0.q_proj"]
-        assert s.shape == (cfg.hidden_size,) and c == 8
+        s_abs, s_sgn, c = cap["layers.0.q_proj"]
+        assert s_abs.shape == (cfg.hidden_size,) and c == 8
+        # |sum| <= sum of abs
+        assert (np.abs(np.asarray(s_sgn)) <= np.asarray(s_abs) + 1e-5).all()
 
 
 class TestGenerate:
