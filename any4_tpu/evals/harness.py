@@ -87,6 +87,11 @@ def run_perplexity_tasks(params, cfg, tasks, tokenizer=None, seqlen=2048,
         except datasets.DatasetUnavailable:
             name = f"synthetic:{task}"
             tokens = datasets.synthetic_tokens(cfg.vocab_size)
+            # re-check the skip under the fallback task name
+            if log_dir and not overwrite and task_done(log_dir, name):
+                if progress:
+                    print(f"skip {name} (already in results.json)")
+                continue
         if evaluator == "stream":
             # split the flat stream into pseudo-documents for the
             # streaming evaluator when real documents are unavailable

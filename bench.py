@@ -33,7 +33,7 @@ def window(f, args, iters):
     return (time.perf_counter() - t0) / iters
 
 
-def best_of_alternating(fns, rounds=12, iters=20):
+def best_of_alternating(fns, rounds=20, iters=20):
     """fns: {name: (callable, args)}. Alternates windows; returns min time
     per name."""
     best = {k: float("inf") for k in fns}
