@@ -69,39 +69,50 @@ def _q4_kernel(x_ref, w_ref, s_ref, z_ref, lut_ref, o_ref, acc_ref, *,
     n_tables = kbs * PLANES // ppt  # tables per program
     R = s_ref.shape[0]              # groups per program (at g_eff granularity)
 
-    # per-row codebook in [bn, 16], tiled to 128 lanes
-    lut = lut_ref[:].astype(jnp.float32)
-    if fmt != "any4":
-        lut = jnp.broadcast_to(lut, (bn, 16))
-    lut_t = jnp.concatenate([lut] * (LANES // 16), axis=1)      # [bn, 128]
-
-    # scales/zeros arrive [R, bn]; transpose in-VMEM and tile to 128 lanes
+    # scales/zeros arrive [R, bn]; transpose in-VMEM (tiny tile)
     st = s_ref[:].astype(jnp.float32).T                          # [bn, R]
     zt = z_ref[:].astype(jnp.float32).T
-    tiles = LANES // R if R < LANES else 1
-    if tiles > 1:
-        st = jnp.concatenate([st] * tiles, axis=1)               # [bn, 128]
-        zt = jnp.concatenate([zt] * tiles, axis=1)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (bn, LANES), 1)
 
     w = w_ref[:]  # [bn, kbs*128] int32
     planes = []
-    for t in range(n_tables):
-        # fused dequant table for groups [t*8, t*8+8):
-        # table[r, 16*g + c] = lut[r, c] * s[r, g] + z[r, g]
-        gidx = (t * 8 + lane // 16) % max(R, 1)
-        sg = jnp.take_along_axis(st, gidx, axis=1)
-        zg = jnp.take_along_axis(zt, gidx, axis=1)
-        table = lut_t * sg + zg                                   # f32
-        for p in range(ppt):
-            j = t * ppt + p          # global plane index in this chunk
-            b, jj = divmod(j, PLANES)
-            codes = jax.lax.shift_right_logical(
-                w[:, b * LANES:(b + 1) * LANES], 4 * jj) & 0xF
-            idx = codes + 16 * (p * gpp + lane // g_eff)
-            planes.append(
-                jnp.take_along_axis(table, idx, axis=1)
-                .astype(jnp.bfloat16))
+    if False:
+        # NOTE (measured, kept for the record): an arithmetic int4 branch
+        # ((codes-8)*s+z with static lane-slice scalar broadcasts) profiled
+        # 5x faster than the gather in the pool's THROTTLED state, but in
+        # the full-clock state the f32 elementwise chain (23us at 4096^2)
+        # loses to the fused-table gather (13.6us) -- DVFS appears to slow
+        # the gather unit disproportionately. The gather path is the right
+        # choice at production clocks.
+        pass
+    else:
+        # all 4-bit formats gather from a fused per-group dequant table
+        # (int4 uses the uniform ramp as its codebook)
+        lut = lut_ref[:].astype(jnp.float32)
+        if fmt != "any4":
+            lut = jnp.broadcast_to(lut, (bn, 16))
+        lut_t = jnp.concatenate([lut] * (LANES // 16), axis=1)   # [bn, 128]
+        tiles = LANES // R if R < LANES else 1
+        st_t, zt_t = st, zt
+        if tiles > 1:
+            st_t = jnp.concatenate([st] * tiles, axis=1)         # [bn, 128]
+            zt_t = jnp.concatenate([zt] * tiles, axis=1)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (bn, LANES), 1)
+        for t in range(n_tables):
+            # fused dequant table for groups [t*8, t*8+8):
+            # table[r, 16*g + c] = lut[r, c] * s[r, g] + z[r, g]
+            gidx = (t * 8 + lane // 16) % max(R, 1)
+            sg = jnp.take_along_axis(st_t, gidx, axis=1)
+            zg = jnp.take_along_axis(zt_t, gidx, axis=1)
+            table = lut_t * sg + zg                               # f32
+            for p in range(ppt):
+                j = t * ppt + p      # global plane index in this chunk
+                b, jj = divmod(j, PLANES)
+                codes = jax.lax.shift_right_logical(
+                    w[:, b * LANES:(b + 1) * LANES], 4 * jj) & 0xF
+                idx = codes + 16 * (p * gpp + lane // g_eff)
+                planes.append(
+                    jnp.take_along_axis(table, idx, axis=1)
+                    .astype(jnp.bfloat16))
     wfull = jnp.concatenate(planes, axis=1)  # [bn, kbs*1024] bf16
 
     part = jax.lax.dot_general(
@@ -123,22 +134,19 @@ def _int8_kernel(x_ref, w_ref, s_ref, z_ref, o_ref, acc_ref, *,
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     g_eff = min(group_size, LANES)
-    R = s_ref.shape[0]
-    st = s_ref[:].astype(jnp.float32).T
+    gpp = LANES // g_eff
+    st = s_ref[:].astype(jnp.float32).T   # [bn, R]
     zt = z_ref[:].astype(jnp.float32).T
-    tiles = LANES // R if R < LANES else 1
-    if tiles > 1:
-        st = jnp.concatenate([st] * tiles, axis=1)
-        zt = jnp.concatenate([zt] * tiles, axis=1)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (bn, LANES), 1)
 
     planes = []
     for j in range(kbs * PLANES):
         q = w_ref[:, j * LANES:(j + 1) * LANES].astype(jnp.float32)
-        gidx = j * (LANES // g_eff) + lane // g_eff
-        sg = jnp.take_along_axis(st, gidx, axis=1)
-        zg = jnp.take_along_axis(zt, gidx, axis=1)
-        planes.append((q * sg + zg).astype(jnp.bfloat16))
+        for c in range(gpp):
+            G = j * gpp + c
+            sg = st[:, G:G + 1]           # static lane slice, broadcasts
+            zg = zt[:, G:G + 1]
+            seg = q if gpp == 1 else q[:, c * g_eff:(c + 1) * g_eff]
+            planes.append((seg * sg + zg).astype(jnp.bfloat16))
     wfull = jnp.concatenate(planes, axis=1)
     part = jax.lax.dot_general(
         x_ref[:], wfull, dimension_numbers=(((1,), (1,)), ((), ())),
