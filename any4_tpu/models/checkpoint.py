@@ -50,6 +50,9 @@ def save_params(path: str, params: Dict, cfg=None):
                 "fmt": leaf.fmt, "group_size": leaf.group_size,
                 "shape": list(leaf.shape), "dtype": str(leaf.dtype),
                 "has_lut": leaf.lut is not None,
+                # per-shard k-padding geometry: reloading without it would
+                # reinterpret shard-padded words as contiguous columns
+                "row_shards": leaf.row_shards,
             }
         elif leaf is not None:
             put(name, leaf)
@@ -118,7 +121,8 @@ def load_params(path: str) -> Tuple[Dict, "llama.LlamaConfig"]:
             jnp.asarray(data[f"{qname}.scales"]),
             jnp.asarray(data[f"{qname}.zeros"]), lut,
             m["fmt"], m["group_size"], tuple(m["shape"]),
-            jnp.dtype(m["dtype"].replace("bfloat16", "bfloat16")))
+            jnp.dtype(m["dtype"].replace("bfloat16", "bfloat16")),
+            m.get("row_shards", 1))
         setleaf(qname, qt)
         for suffix in ("packed", "scales", "zeros", "lut"):
             consumed.add(f"{qname}.{suffix}")

@@ -58,12 +58,19 @@ def fuse_projections(params: Dict) -> Dict:
     out = _copy_tree(params)
     for layer in out.get("layers", []):
         if all(k in layer for k in ("q_proj", "k_proj", "v_proj")):
-            layer["qkv_proj"] = _concat(
-                [layer.pop("q_proj"), layer.pop("k_proj"),
-                 layer.pop("v_proj")])
+            parts = [layer.pop("q_proj"), layer.pop("k_proj"),
+                     layer.pop("v_proj")]
+            widths = [p.shape[0] for p in parts]
+            layer["qkv_proj"] = _concat(parts)
             biases = [layer.pop(b, None)
                       for b in ("q_bias", "k_bias", "v_bias")]
-            if all(b is not None for b in biases):
+            if any(b is not None for b in biases):
+                # a partial bias set (e.g. k/v-only) fuses with zeros for
+                # the missing constituents rather than silently dropping
+                biases = [jnp.zeros((w,), dtype=next(
+                              x.dtype for x in biases if x is not None))
+                          if b is None else b
+                          for b, w in zip(biases, widths)]
                 layer["qkv_bias"] = jnp.concatenate(biases)
         if all(k in layer for k in ("gate_proj", "up_proj")):
             layer["gateup_proj"] = _concat(

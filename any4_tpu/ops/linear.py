@@ -139,6 +139,14 @@ def dequantize_tensor(qt: QuantizedTensor, dtype=None) -> jax.Array:
     if qt.row_shards > 1:
         S = qt.row_shards
         n, k = qt.shape
+        denom = 8 if qt.fmt in _NIBBLE_FMTS else 1
+        shard_words = packing.padded_k(k // S) // denom
+        if qt.packed.shape[1] == shard_words:
+            # live leaf holds ONE k-shard (inside shard_map the static
+            # metadata still describes the full logical tensor): dequantize
+            # it as a standalone single-shard weight
+            sub = _replace(qt, shape=(n, k // S), row_shards=1)
+            return dequantize_tensor(sub, dtype)
         wordper = qt.packed.shape[1] // S
         rowper = qt.scales.shape[0] // S
         parts = []
@@ -161,9 +169,9 @@ def dequantize_tensor(qt: QuantizedTensor, dtype=None) -> jax.Array:
         codes = packing.unpack_int4(qt.packed, kp).astype(jnp.int32)
         if qt.fmt == "int4":
             q = (codes - 8).astype(jnp.float32)
-        elif qt.fmt == "any4":
+        elif qt.fmt == "any4" and qt.lut.shape[0] != 1:
             q = jnp.take_along_axis(qt.lut.astype(jnp.float32), codes, axis=1)
-        else:  # global table
+        else:  # global table (nf4/fp4/mx4 and global-LUT any4)
             q = qt.lut[0].astype(jnp.float32)[codes]
     scales = jnp.repeat(qt.scales.T, g, axis=1)[:, :kp]
     zeros = jnp.repeat(qt.zeros.T, g, axis=1)[:, :kp]
@@ -171,15 +179,21 @@ def dequantize_tensor(qt: QuantizedTensor, dtype=None) -> jax.Array:
     return w[:, :k].astype(dtype)
 
 
-def _kernel_fmt(fmt: str) -> str:
+def _kernel_fmt(fmt: str, lut: Optional[jax.Array] = None) -> str:
     if fmt in ("nf4", "fp4", "mx4"):
+        return "lut4"
+    if fmt == "any4" and lut is not None and lut.shape[0] == 1:
+        # global-LUT any4 (reference `Any4_Global_Grouped`,
+        # TinyGemm_int4.cu:622-746, selected by `int4Dequant.dim()`): the
+        # kernel's per-row BlockSpec would misread a [1, 16] table, so this
+        # variant runs on the shared-table kernel path like nf4/fp4
         return "lut4"
     return fmt
 
 
 def linear(x: jax.Array, w, bias: Optional[jax.Array] = None, *,
            block_n: int = gemv.DEFAULT_BLOCK_N, use_gather: bool = True,
-           fused_m_max: int = FUSED_M_MAX,
+           fused_m_max: int = FUSED_M_MAX, k_chunk: Optional[int] = None,
            interpret: bool = False) -> jax.Array:
     """``y = x @ W^T + bias`` where ``w`` is dense or a QuantizedTensor."""
     if not isinstance(w, QuantizedTensor):
@@ -204,9 +218,9 @@ def linear(x: jax.Array, w, bias: Optional[jax.Array] = None, *,
             # full logical tensor
             y = gemv.quantized_matmul(
                 xq, w.packed, w.scales, w.zeros, w.lut,
-                fmt=_kernel_fmt(w.fmt), group_size=w.group_size,
+                fmt=_kernel_fmt(w.fmt, w.lut), group_size=w.group_size,
                 n=w.packed.shape[0], block_n=block_n, out_dtype=x.dtype,
-                use_gather=use_gather, interpret=interpret)
+                use_gather=use_gather, interpret=interpret, k_chunk=k_chunk)
         else:
             wd = dequantize_tensor(w, dtype=x.dtype)
             y = jnp.einsum("...k,nk->...n", x, wd)

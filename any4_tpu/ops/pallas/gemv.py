@@ -172,7 +172,7 @@ def _expand_plane_scales(sz: jax.Array, group_size: int) -> jax.Array:
 @functools.partial(
     jax.jit,
     static_argnames=("fmt", "group_size", "n", "block_n", "out_dtype",
-                     "use_gather", "interpret"))
+                     "use_gather", "interpret", "k_chunk"))
 def quantized_matmul_padded(
     x: jax.Array,                  # [mp, kp] bf16 (mp % 16 == 0, kp % 1024 == 0)
     packed: jax.Array,             # 4-bit fmts: [np, kp/8] int32; int8: [np, kp]
@@ -187,6 +187,7 @@ def quantized_matmul_padded(
     out_dtype=jnp.bfloat16,
     use_gather: bool = True,
     interpret: bool = False,
+    k_chunk: Optional[int] = None,  # PACK_BLOCKs fused per grid step
 ) -> jax.Array:
     """Core padded kernel launch; returns ``y [mp, n]``. Use
     :func:`quantized_matmul` for the padding-aware entry point."""
@@ -200,7 +201,12 @@ def quantized_matmul_padded(
     assert kp % PACK_BLOCK == 0 and (mp <= 16 or mp % 16 == 0)
     assert np_ % block_n == 0
     nkb = kp // PACK_BLOCK
-    kbs = 2 if nkb % 2 == 0 else 1   # k-blocks fused per grid step
+    if k_chunk is not None:
+        assert nkb % k_chunk == 0, \
+            f"k_chunk {k_chunk} must divide {nkb} pack blocks"
+        kbs = k_chunk
+    else:
+        kbs = 2 if nkb % 2 == 0 else 1   # k-blocks fused per grid step
     nk = nkb // kbs
     nb = np_ // block_n
     kw = LANES if fmt != "int8" else PACK_BLOCK
@@ -277,6 +283,7 @@ def quantized_matmul(
     out_dtype=jnp.bfloat16,
     use_gather: bool = True,
     interpret: bool = False,
+    k_chunk: Optional[int] = None,
 ) -> jax.Array:
     """``y = x @ dequant(W)^T`` with W stored packed/quantized.
 
@@ -334,5 +341,5 @@ def quantized_matmul(
     y = quantized_matmul_padded(
         x2, packed, scales_t, zeros_t, lut, fmt=fmt, group_size=group_size,
         n=n, block_n=bn, out_dtype=out_dtype, use_gather=use_gather,
-        interpret=interpret)
+        interpret=interpret, k_chunk=k_chunk)
     return y[:m].reshape(*orig_shape[:-1], n)

@@ -156,17 +156,26 @@ def anyq_dequantize(codes: jax.Array, lut: jax.Array, scales: jax.Array,
 # MX4: fp4_e2m1 elements with shared e8m0 group exponent
 # ---------------------------------------------------------------------------
 
+E8M0_NAN = 255  # e8m0 0xFF encodes NaN (MX spec; reference stores it for
+                # overflow/NaN groups and the kernel must propagate it --
+                # tinygemm_lib/utils.py:108-110, test_tinygemm_mx4.py:450)
+
+
 def mx4_quantize(w: jax.Array, group_size: int = 32):
     """MX4 quantization (reference tinygemm_lib/utils.py:85-191).
 
     The shared exponent per group is ``floor(log2(max |x|)) - emax`` (emax=2
-    for e2m1), clamped to the e8m0 range; elements are divided by ``2^e`` and
-    rounded to the nearest fp4_e2m1 value (sign preserved, saturating at
-    +-6.0). Returns ``(codes uint8 [n,k], exponents uint8 [n, k/g])`` with the
-    exponent stored biased by 127.
+    for e2m1), clamped below to the e8m0 range; elements are divided by
+    ``2^e`` and rounded to the nearest fp4_e2m1 value (sign preserved,
+    saturating at +-6.0). A group whose shared exponent overflows e8m0, or
+    that contains NaN, stores the e8m0 NaN byte 0xFF so dequantization (and
+    the fused kernel) yields NaN. Returns
+    ``(codes uint8 [n,k], exponents uint8 [n, k/g])`` with the exponent
+    stored biased by 127.
     """
     wg = _group_view(w.astype(jnp.float32), group_size)
     absmax = jnp.abs(wg).max(axis=-1, keepdims=True)
+    has_nan = jnp.isnan(wg).any(axis=-1, keepdims=True)
     # floor(log2(absmax)); guard absmax==0 -> exponent -emax_scale
     scale_emax = 2 ** (8 - 1) - 1  # 127
     e = jnp.floor(jnp.log2(jnp.where(absmax > 0, absmax, 1.0)))
@@ -174,6 +183,7 @@ def mx4_quantize(w: jax.Array, group_size: int = 32):
     flush = e <= -E8M0_BIAS
     wg = jnp.where(flush, 0.0, wg)
     e = e - FP4_E2M1_EMAX
+    overflow = e > scale_emax  # -> e8m0 NaN, like the reference's
     e = jnp.clip(e, -scale_emax, scale_emax)
     y = wg / jnp.exp2(e)
     y = jnp.clip(y, -FP4_E2M1_MAX, FP4_E2M1_MAX)
@@ -182,7 +192,10 @@ def mx4_quantize(w: jax.Array, group_size: int = 32):
     mag = jnp.argmin(jnp.abs(jnp.abs(y)[..., None] - mags), axis=-1)
     sign = (jnp.signbit(y)).astype(jnp.int32)
     codes = (sign << 3) | mag
+    codes = jnp.where(jnp.isnan(y), 0, codes)
     e_int = (e[..., 0] + E8M0_BIAS).astype(jnp.uint8)
+    e_int = jnp.where((overflow | has_nan)[..., 0],
+                      jnp.uint8(E8M0_NAN), e_int)
     return codes.astype(jnp.uint8).reshape(w.shape), e_int
 
 
@@ -190,13 +203,19 @@ def mx4_dequantize(codes: jax.Array, exponents: jax.Array,
                    group_size: int = 32) -> jax.Array:
     table = jnp.asarray(FP4_E2M1_TABLE)
     vals = _group_view(table[codes.astype(jnp.int32)], group_size)
-    scale = jnp.exp2(exponents.astype(jnp.float32) - E8M0_BIAS)
+    scale = mx4_scales(exponents)
     return (vals * scale[..., None]).reshape(codes.shape)
 
 
 def mx4_scales(exponents: jax.Array) -> jax.Array:
-    """Decode e8m0 exponents into float group scales (for the fused kernel)."""
-    return jnp.exp2(exponents.astype(jnp.float32) - E8M0_BIAS)
+    """Decode e8m0 exponents into float group scales (for the fused kernel).
+
+    Exponent byte 0xFF decodes to NaN (MX e8m0 NaN), so a poisoned group
+    propagates NaN through dequantization and the fused dot -- matching the
+    reference kernel's e8m0 handling (test_tinygemm_mx4.py:450 test_nan).
+    """
+    e = exponents.astype(jnp.float32)
+    return jnp.where(exponents == E8M0_NAN, jnp.nan, jnp.exp2(e - E8M0_BIAS))
 
 
 # ---------------------------------------------------------------------------

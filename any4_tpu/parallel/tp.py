@@ -76,13 +76,20 @@ def _dense_spec(kind: str):
     return P("tp", None) if kind == "col" else P(None, "tp")
 
 
+# biases of column-parallel projections shard with the output dim; a
+# row-parallel projection's bias is replicated but must survive the psum
+# over tp exactly once, so it is pre-divided by tp at shard time
+_COL_BIAS_KEYS = ("q_bias", "k_bias", "v_bias", "qkv_bias", "gate_bias",
+                  "up_bias", "gateup_bias")
+_ROW_BIAS_KEYS = ("o_bias", "down_bias")
+
+
 def param_specs(params: Dict) -> Dict:
     """Build a matching pytree of PartitionSpecs for a llama param tree."""
 
     def spec_for(name: str, leaf):
         last = name.split(".")[-1]
-        if last in _COL_KEYS or last.endswith("_bias") and \
-                last[:1] in ("q", "k", "v"):
+        if last in _COL_KEYS or last in _COL_BIAS_KEYS:
             kind = "col"
         elif last in _ROW_KEYS:
             kind = "row"
@@ -97,6 +104,8 @@ def param_specs(params: Dict) -> Dict:
                     shape=leaf.shape, dtype=leaf.dtype,
                     row_shards=leaf.row_shards)
             return _qt_spec(kind, leaf)
+        if getattr(leaf, "ndim", 1) == 1 and kind == "col":
+            return P("tp")
         if kind == "repl" or leaf.ndim != 2:
             return P(*([None] * getattr(leaf, "ndim", 1)))
         return _dense_spec(kind)
@@ -108,14 +117,94 @@ def param_specs(params: Dict) -> Dict:
     return out
 
 
-def shard_params(params: Dict, mesh: Mesh) -> Tuple[Dict, Dict]:
-    """device_put the param tree with TP shardings. Returns (params, specs)."""
+def _interleave_rows(leaf, sizes, tp: int):
+    """Permute the output rows of a fused (concatenated) weight so each
+    contiguous 1/tp chunk holds that shard's slice of EVERY constituent.
+
+    A fused [q;k;v] weight sharded P('tp', ...) splits contiguously, which
+    would give shard 0 only q rows; the local forward instead expects shard
+    i to see (q_i; k_i; v_i). sizes are the constituent output dims.
+    """
+    order = []
+    offs = np.cumsum([0] + list(sizes[:-1]))
+    for i in range(tp):
+        for off, sz in zip(offs, sizes):
+            assert sz % tp == 0, f"fused part {sz} not divisible by tp={tp}"
+            per = sz // tp
+            order.extend(range(off + i * per, off + (i + 1) * per))
+    order = np.asarray(order)
+    if isinstance(leaf, lin.QuantizedTensor):
+        lut = leaf.lut
+        if lut is not None and lut.shape[0] == leaf.shape[0]:
+            lut = lut[order]
+        return dataclasses.replace(
+            leaf, packed=leaf.packed[order], scales=leaf.scales[:, order],
+            zeros=leaf.zeros[:, order], lut=lut)
+    return leaf[order]
+
+
+def _fused_part_sizes(key: str, cfg) -> Optional[list]:
+    if cfg is None:
+        return None
+    hd = cfg.head_dim_
+    if key == "qkv_proj" or key == "qkv_bias":
+        return [cfg.num_attention_heads * hd,
+                cfg.num_key_value_heads * hd,
+                cfg.num_key_value_heads * hd]
+    if key == "gateup_proj" or key == "gateup_bias":
+        return [cfg.intermediate_size, cfg.intermediate_size]
+    return None
+
+
+def reshard_fused(params: Dict, cfg, tp: int) -> Dict:
+    """Interleave-reshard fused qkv/gateup weights for tp-way column
+    parallelism (no-op for tp=1 or unfused trees)."""
+    from ..quant.api import _walk, _copy_tree
+    out = _copy_tree(params)
+    if tp == 1:
+        return out
+    for name, leaf, setter in _walk(out):
+        sizes = _fused_part_sizes(name.split(".")[-1], cfg)
+        if sizes is not None and leaf is not None:
+            setter(_interleave_rows(leaf, sizes, tp))
+    return out
+
+
+def shard_params(params: Dict, mesh: Mesh, cfg=None) -> Tuple[Dict, Dict]:
+    """device_put the param tree with TP shardings. Returns (params, specs).
+
+    ``cfg`` (a LlamaConfig) is REQUIRED when the tree contains fused
+    qkv_proj/gateup_proj leaves: their rows must be interleave-resharded
+    per shard (see :func:`_interleave_rows`) before a contiguous P('tp')
+    split is correct.
+    """
+    tp = mesh.shape.get("tp", 1)
+    has_fused = False
+    from ..quant.api import _walk
+    for name, leaf, _ in _walk(params):
+        last = name.split(".")[-1]
+        if last in ("qkv_proj", "gateup_proj"):
+            has_fused = True
+    if has_fused and tp > 1:
+        if cfg is None:
+            raise ValueError(
+                "shard_params: fused qkv/gateup weights need cfg= to "
+                "interleave-reshard rows for tp>1 (a contiguous P('tp') "
+                "split of a fused weight is silently wrong)")
+        params = reshard_fused(params, cfg, tp)
+    if tp > 1:
+        # a row-parallel projection's bias is added once per shard before
+        # the psum: pre-divide so the sum reconstructs the bias exactly
+        from ..quant.api import _copy_tree
+        params = _copy_tree(params)
+        for name, leaf, setter in _walk(params):
+            if leaf is not None and name.split(".")[-1] in _ROW_BIAS_KEYS:
+                setter(leaf / tp)
     specs = param_specs(params)
 
     def put(leaf, spec):
         return jax.device_put(leaf, NamedSharding(mesh, spec))
 
-    is_qt = lambda x: isinstance(x, (lin.QuantizedTensor,))
     shards = jax.tree_util.tree_map(
         put, params, specs,
         is_leaf=lambda x: isinstance(x, P))

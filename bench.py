@@ -61,7 +61,7 @@ def main():
     for fmt in ("any4", "int4", "nf4"):
         kw = dict(kmeans_iters=8) if fmt == "any4" else {}
         qt = lin.quantize_tensor(w, fmt, group_size=128, **kw)
-        kfmt = lin._kernel_fmt(qt.fmt)
+        kfmt = lin._kernel_fmt(qt.fmt, qt.lut)
         f = jax.jit(lambda a, p, s, z, l, kf=kfmt:
                     gemv.quantized_matmul(a, p, s, z, l, fmt=kf,
                                           group_size=128, n=N))

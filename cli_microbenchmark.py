@@ -51,7 +51,7 @@ def main(argv=None):
     wb = w.astype(jnp.bfloat16)
     kw = dict(kmeans_iters=8) if args.quantize == "any4" else {}
     qt = lin.quantize_tensor(w, args.quantize, g, **kw)
-    kfmt = lin._kernel_fmt(qt.fmt)
+    kfmt = lin._kernel_fmt(qt.fmt, qt.lut)
 
     f_b = jax.jit(lambda a, b: a @ b.T)
     f_q = jax.jit(lambda a, p_, s, z, l, kf=kfmt:
@@ -93,7 +93,7 @@ def sweep(args):
         for fmt in ("int4", "nf4", "any4"):
             kw = dict(kmeans_iters=4) if fmt == "any4" else {}
             qt = lin.quantize_tensor(w, fmt, args.group_size, **kw)
-            kfmt = lin._kernel_fmt(qt.fmt)
+            kfmt = lin._kernel_fmt(qt.fmt, qt.lut)
             f = jax.jit(lambda a, p_, s, z, l, kf=kfmt, n_=N:
                         gemv.quantized_matmul(a, p_, s, z, l, fmt=kf,
                                               group_size=args.group_size,

@@ -30,7 +30,7 @@ FMTS = ["int4", "any4", "nf4", "fp4", "mx4", "int8"]
 def _mm(x, qt, out_dtype=jnp.float32, **kw):
     return gemv.quantized_matmul(
         x, qt.packed, qt.scales, qt.zeros, qt.lut,
-        fmt=lin._kernel_fmt(qt.fmt), group_size=qt.group_size,
+        fmt=lin._kernel_fmt(qt.fmt, qt.lut), group_size=qt.group_size,
         n=qt.shape[0], interpret=INTERPRET, out_dtype=out_dtype, **kw)
 
 
@@ -103,8 +103,6 @@ class TestGeneralMul:
     @pytest.mark.parametrize("fmt", FMTS)
     @pytest.mark.parametrize("g", [64, 128, 256])
     def test_matches_dequant_reference(self, fmt, g):
-        if fmt == "mx4" and g != 64:
-            pytest.skip("mx4 uses its natural group sizes")
         n, k = 256, 2048
         w = jax.random.normal(jax.random.PRNGKey(7), (n, k))
         kw = dict(kmeans_iters=10) if fmt == "any4" else {}
@@ -114,11 +112,14 @@ class TestGeneralMul:
         ref = _ref(x, qt)
         _assert_close(y, ref)
 
+    @pytest.mark.parametrize("fmt", ["int4", "mx4"])
     @pytest.mark.parametrize("g", [32, 64])
-    def test_small_groups(self, g):
+    def test_small_groups(self, fmt, g):
+        # g=32 is mx4's DEFAULT group size (quant_methods["mx4"]), so the
+        # kernel must be exercised there, not only at g=64
         n, k = 128, 1024
         w = jax.random.normal(jax.random.PRNGKey(9), (n, k))
-        qt = lin.quantize_tensor(w, "int4", group_size=g)
+        qt = lin.quantize_tensor(w, fmt, group_size=g)
         x = jax.random.normal(jax.random.PRNGKey(10), (2, k))
         y = _mm(x, qt)
         _assert_close(y, _ref(x, qt))
@@ -155,6 +156,23 @@ class TestAny4LutIsUsed:
         np.testing.assert_allclose(np.asarray(y2), -np.asarray(y),
                                    rtol=1e-4, atol=1e-4)
 
+    @pytest.mark.parametrize("per_row", [False, True])
+    def test_per_row_variants_fused_matches_dequant(self, per_row):
+        """Fused-kernel vs dequant parity for BOTH LUT layouts -- the
+        reference treats global-LUT any4 as a first-class variant
+        (test_tinygemm_any4.py:194-220, per_row in {False, True};
+        `Any4_Global_Grouped` dispatch, TinyGemm_int4.cu:622-746)."""
+        n, k = 128, 2048
+        w = jax.random.normal(jax.random.PRNGKey(40), (n, k))
+        qt = lin.quantize_tensor(w, "any4", group_size=128, kmeans_iters=10,
+                                 per_row=per_row)
+        assert qt.lut.shape[0] == (n if per_row else 1)
+        x = jax.random.normal(jax.random.PRNGKey(41), (2, k))
+        y = lin.linear(x, qt, interpret=INTERPRET)
+        ref = _ref(x, qt)
+        assert np.isfinite(np.asarray(y, np.float32)).all()
+        _assert_close(np.asarray(y, np.float32), ref)
+
     def test_per_row_luts_differ(self):
         # two rows with identical codes/scales but different LUTs must give
         # different outputs
@@ -178,6 +196,47 @@ class TestAny4LutIsUsed:
         # compared at the common (divided-out) magnitude
         _assert_close(np.asarray(yb)[0] / np.arange(1, n + 1),
                       np.asarray(ya)[0], tol=1e-2)
+
+
+class TestMx4Nan:
+    """MX4 e8m0 NaN semantics (reference test_tinygemm_mx4.py:450
+    test_nan + quantize_mx4 NaN exponent storage, utils.py:137-191)."""
+
+    def test_nan_input_poisons_group(self):
+        from any4_tpu.ops import quant
+        w = np.zeros((8, 64), np.float32)
+        w[0, 3] = np.nan
+        codes, exps = quant.mx4_quantize(jnp.asarray(w), 32)
+        exps = np.asarray(exps)
+        assert exps[0, 0] == 255           # e8m0 NaN byte
+        assert (exps[1:] != 255).all()
+        deq = np.asarray(quant.mx4_dequantize(codes, jnp.asarray(exps), 32))
+        assert np.isnan(deq[0, :32]).all()  # whole group poisoned
+        assert np.isfinite(deq[1:]).all()
+
+    def test_e8m0_nan_byte_decodes_nan(self):
+        from any4_tpu.ops import quant
+        s = np.asarray(quant.mx4_scales(jnp.asarray([[255]], jnp.uint8)))
+        assert np.isnan(s).all()
+        s254 = np.asarray(quant.mx4_scales(jnp.asarray([[254]], jnp.uint8)))
+        assert np.isfinite(s254).all()      # right below NaN stays finite
+
+    def test_kernel_propagates_nan_scale(self):
+        """Poison one group's e8m0 exponent post-quantization (the
+        reference pokes w_e[0][0]=255) -- the fused kernel output must go
+        NaN, and stay finite at 254."""
+        from dataclasses import replace
+        from any4_tpu.ops import quant
+        n, k = 128, 1024
+        w = jax.random.normal(jax.random.PRNGKey(50), (n, k))
+        qt = lin.quantize_tensor(w, "mx4", group_size=32)
+        x = jnp.ones((1, k), jnp.float32)
+        y0 = np.asarray(_mm(x, qt), np.float32)
+        assert np.isfinite(y0).all()
+        poisoned = replace(qt, scales=qt.scales.at[0, 0].set(jnp.nan))
+        y1 = np.asarray(_mm(x, poisoned), np.float32)
+        assert np.isnan(y1[0, 0])
+        assert np.isfinite(y1[0, 1:]).all()
 
 
 class TestLinearDispatch:

@@ -152,6 +152,24 @@ class TestCheckpoint:
                                    np.asarray(l1, np.float32), atol=1e-5)
 
 
+    def test_roundtrip_row_sharded_unaligned(self):
+        """row_shards with a k that pads per shard: reloading without the
+        persisted row_shards would reinterpret the shard padding as
+        contiguous columns (ADVICE round-1 medium finding)."""
+        w = jax.random.normal(jax.random.PRNGKey(40), (64, 1536))
+        qt = lin.quantize_tensor(w, "int4", group_size=128, row_shards=2)
+        # per-shard k=768 pads to 1024: packed has 2*128 words, not 192
+        assert qt.packed.shape[1] == 256
+        with tempfile.TemporaryDirectory() as d:
+            checkpoint.save_params(d, {"w": qt})
+            loaded, _ = checkpoint.load_params(d)
+        qt2 = loaded["w"]
+        assert qt2.row_shards == 2
+        np.testing.assert_array_equal(
+            np.asarray(lin.dequantize_tensor(qt2)),
+            np.asarray(lin.dequantize_tensor(qt)))
+
+
 class TestFusedProjections:
     def test_fused_matches_unfused_dense(self, tiny):
         from any4_tpu.models import fuse
@@ -163,6 +181,29 @@ class TestFusedProjections:
         assert "qkv_proj" in fused["layers"][0]
         assert "q_proj" not in fused["layers"][0]
         out, _ = llama.forward(fused, cfg, ids)
+        np.testing.assert_allclose(np.asarray(out, np.float32),
+                                   np.asarray(base, np.float32),
+                                   atol=2e-2, rtol=2e-2)
+
+    def test_partial_bias_set_preserved(self, tiny):
+        """A layer with only k/v biases (no q) must not lose them when
+        fusing (ADVICE round-1 low finding)."""
+        from any4_tpu.models import fuse
+        from any4_tpu.quant.api import _copy_tree
+        cfg, params = tiny
+        params = _copy_tree(params)
+        hd, nkv = cfg.head_dim_, cfg.num_key_value_heads
+        layer = params["layers"][0]
+        layer["k_bias"] = jnp.ones((nkv * hd,), jnp.float32)
+        layer["v_bias"] = jnp.full((nkv * hd,), 2.0, jnp.float32)
+        base, _ = llama.forward(params, cfg, jnp.zeros((1, 4), jnp.int32))
+        fused = fuse.fuse_projections(params)
+        flayer = fused["layers"][0]
+        assert "qkv_bias" in flayer
+        nq = cfg.num_attention_heads * hd
+        np.testing.assert_array_equal(
+            np.asarray(flayer["qkv_bias"][:nq]), 0.0)
+        out, _ = llama.forward(fused, cfg, jnp.zeros((1, 4), jnp.int32))
         np.testing.assert_allclose(np.asarray(out, np.float32),
                                    np.asarray(base, np.float32),
                                    atol=2e-2, rtol=2e-2)

@@ -81,6 +81,101 @@ class TestTPForward:
                                    atol=1e-3, rtol=1e-3)
 
 
+class TestFusedTP:
+    def test_fused_tp_matches_single(self, tiny):
+        """Fused qkv/gateup weights must be interleave-resharded: a
+        contiguous P('tp') split would give shard 0 all q rows (ADVICE
+        round-1 high finding)."""
+        from any4_tpu.models import fuse
+        cfg, params = tiny
+        fused = fuse.fuse_projections(params)
+        mesh = tp.make_mesh(dp=2, tp=4)
+        sharded, specs = tp.shard_params(fused, mesh, cfg=cfg)
+        fwd = tp.make_tp_forward(cfg, mesh, specs)
+        ids = jax.random.randint(jax.random.PRNGKey(3), (2, 8), 0,
+                                 cfg.vocab_size)
+        ref, _ = llama.forward(params, cfg, ids)
+        out = fwd(sharded, ids)
+        np.testing.assert_allclose(np.asarray(out, np.float32),
+                                   np.asarray(ref, np.float32),
+                                   atol=1e-3, rtol=1e-3)
+
+    def test_fused_quantized_tp_matches_single(self, tiny):
+        from any4_tpu.models import fuse
+        cfg, params = tiny
+        qparams = api.quantize_model(params, fmt="any4", group_size=32,
+                                     kmeans_iters=3, row_parallel_shards=4)
+        fused = fuse.fuse_projections(qparams)
+        mesh = tp.make_mesh(dp=2, tp=4)
+        sharded, specs = tp.shard_params(fused, mesh, cfg=cfg)
+        fwd = tp.make_tp_forward(cfg, mesh, specs)
+        ids = jax.random.randint(jax.random.PRNGKey(4), (2, 8), 0,
+                                 cfg.vocab_size)
+        ref, _ = llama.forward(fused, cfg, ids, interpret=True)
+        out = fwd(sharded, ids)
+        np.testing.assert_allclose(np.asarray(out, np.float32),
+                                   np.asarray(ref, np.float32),
+                                   atol=5e-2, rtol=5e-2)
+
+    def test_fused_without_cfg_rejected(self, tiny):
+        from any4_tpu.models import fuse
+        cfg, params = tiny
+        fused = fuse.fuse_projections(params)
+        mesh = tp.make_mesh(dp=2, tp=4)
+        with pytest.raises(ValueError, match="interleave-reshard"):
+            tp.shard_params(fused, mesh)
+
+
+class TestBiasesTP:
+    def test_col_and_row_biases_match_single(self, tiny):
+        """q/k/v biases shard over tp; o_proj bias must survive the psum
+        exactly once (ADVICE round-1 low findings)."""
+        cfg, params = tiny
+        from any4_tpu.quant.api import _copy_tree
+        params = _copy_tree(params)
+        key = jax.random.PRNGKey(7)
+        hd, nq, nkv = cfg.head_dim_, cfg.num_attention_heads, \
+            cfg.num_key_value_heads
+        for layer in params["layers"]:
+            k1, k2, k3, k4, key = jax.random.split(key, 5)
+            layer["q_bias"] = jax.random.normal(k1, (nq * hd,), jnp.float32)
+            layer["k_bias"] = jax.random.normal(k2, (nkv * hd,), jnp.float32)
+            layer["v_bias"] = jax.random.normal(k3, (nkv * hd,), jnp.float32)
+            layer["o_bias"] = jax.random.normal(k4, (cfg.hidden_size,),
+                                                jnp.float32)
+        mesh = tp.make_mesh(dp=2, tp=4)
+        sharded, specs = tp.shard_params(params, mesh, cfg=cfg)
+        fwd = tp.make_tp_forward(cfg, mesh, specs)
+        ids = jax.random.randint(jax.random.PRNGKey(8), (2, 8), 0,
+                                 cfg.vocab_size)
+        ref, _ = llama.forward(params, cfg, ids)
+        out = fwd(sharded, ids)
+        np.testing.assert_allclose(np.asarray(out, np.float32),
+                                   np.asarray(ref, np.float32),
+                                   atol=1e-3, rtol=1e-3)
+
+
+class TestPrefillTP:
+    def test_quantized_prefill_dequant_path(self, tiny):
+        """m > FUSED_M_MAX routes through dequantize-then-matmul inside
+        shard_map; the row-sharded dequant must detect shard-local leaves
+        (ADVICE round-1 medium finding)."""
+        cfg, params = tiny
+        qparams = api.quantize_model(params, fmt="int4", group_size=32,
+                                     row_parallel_shards=4)
+        mesh = tp.make_mesh(dp=2, tp=4)
+        sharded, specs = tp.shard_params(qparams, mesh)
+        fwd = tp.make_tp_forward(cfg, mesh, specs)
+        t = 40  # local m = 2*40/dp2 = 40 > FUSED_M_MAX
+        ids = jax.random.randint(jax.random.PRNGKey(9), (2, t), 0,
+                                 cfg.vocab_size)
+        ref, _ = llama.forward(qparams, cfg, ids, interpret=True)
+        out = fwd(sharded, ids)
+        np.testing.assert_allclose(np.asarray(out, np.float32),
+                                   np.asarray(ref, np.float32),
+                                   atol=5e-2, rtol=5e-2)
+
+
 class TestSpecs:
     def test_param_specs_structure(self, tiny):
         cfg, params = tiny
