@@ -103,6 +103,98 @@ def load_llama(model_dir: str, dtype=jnp.bfloat16
     return cfg, params
 
 
+def convert_torch_llama(model, dtype=jnp.bfloat16):
+    """Convert an instantiated transformers Llama-family model (torch CPU)
+    into ``(cfg, params)`` for :mod:`any4_tpu.models.llama`.
+
+    This is the ground-truth bridge: the reference evaluates HF torch models
+    directly (eval.py:168-177), so logit-level parity against a converted
+    transformers model is the strongest offline accuracy evidence."""
+    sd = {k: v.detach() for k, v in model.state_dict().items()}
+    cfg = _cfg_from_hf(model.config.to_dict())
+
+    def arr(name):
+        return jnp.asarray(sd[name].float().numpy()).astype(dtype)
+
+    params: Dict = {
+        "embed_tokens": arr("model.embed_tokens.weight"),
+        "norm": arr("model.norm.weight"),
+        "layers": [],
+    }
+    for i in range(cfg.num_hidden_layers):
+        p = f"model.layers.{i}."
+        layer = {
+            "input_layernorm": arr(p + "input_layernorm.weight"),
+            "post_attention_layernorm":
+                arr(p + "post_attention_layernorm.weight"),
+            "q_proj": arr(p + "self_attn.q_proj.weight"),
+            "k_proj": arr(p + "self_attn.k_proj.weight"),
+            "v_proj": arr(p + "self_attn.v_proj.weight"),
+            "o_proj": arr(p + "self_attn.o_proj.weight"),
+            "gate_proj": arr(p + "mlp.gate_proj.weight"),
+            "up_proj": arr(p + "mlp.up_proj.weight"),
+            "down_proj": arr(p + "mlp.down_proj.weight"),
+        }
+        for biased in ("q", "k", "v", "o"):
+            bname = p + f"self_attn.{biased}_proj.bias"
+            if bname in sd:
+                layer[f"{biased}_bias"] = arr(bname)
+        params["layers"].append(layer)
+    if "lm_head.weight" in sd and not cfg.tie_word_embeddings:
+        params["lm_head"] = arr("lm_head.weight")
+    return cfg, params
+
+
+def convert_torch_opt(model, dtype=jnp.bfloat16):
+    """Convert an instantiated transformers OPTForCausalLM (torch CPU) into
+    ``(cfg, params)`` for :mod:`any4_tpu.models.opt`."""
+    from . import opt as opt_mod
+    sd = {k: v.detach() for k, v in model.state_dict().items()}
+    hf = model.config.to_dict()
+    cfg = opt_mod.OPTConfig(
+        vocab_size=hf["vocab_size"], hidden_size=hf["hidden_size"],
+        ffn_dim=hf["ffn_dim"], num_hidden_layers=hf["num_hidden_layers"],
+        num_attention_heads=hf["num_attention_heads"],
+        max_position_embeddings=hf["max_position_embeddings"],
+        do_layer_norm_before=hf.get("do_layer_norm_before", True))
+
+    def arr(name):
+        pfx = "model.decoder."
+        key = pfx + name if pfx + name in sd else name
+        return jnp.asarray(sd[key].float().numpy()).astype(dtype)
+
+    params = {
+        "embed_tokens": arr("embed_tokens.weight"),
+        "embed_positions": arr("embed_positions.weight"),
+        "final_layer_norm": {"weight": arr("final_layer_norm.weight"),
+                             "bias": arr("final_layer_norm.bias")},
+        "layers": [],
+    }
+    for i in range(cfg.num_hidden_layers):
+        p = f"layers.{i}."
+        params["layers"].append({
+            "self_attn_layer_norm": {
+                "weight": arr(p + "self_attn_layer_norm.weight"),
+                "bias": arr(p + "self_attn_layer_norm.bias")},
+            "final_layer_norm": {
+                "weight": arr(p + "final_layer_norm.weight"),
+                "bias": arr(p + "final_layer_norm.bias")},
+            "q_proj": arr(p + "self_attn.q_proj.weight"),
+            "k_proj": arr(p + "self_attn.k_proj.weight"),
+            "v_proj": arr(p + "self_attn.v_proj.weight"),
+            "out_proj": arr(p + "self_attn.out_proj.weight"),
+            "q_bias": arr(p + "self_attn.q_proj.bias"),
+            "k_bias": arr(p + "self_attn.k_proj.bias"),
+            "v_bias": arr(p + "self_attn.v_proj.bias"),
+            "out_bias": arr(p + "self_attn.out_proj.bias"),
+            "fc1": arr(p + "fc1.weight"),
+            "fc1_bias": arr(p + "fc1.bias"),
+            "fc2": arr(p + "fc2.weight"),
+            "fc2_bias": arr(p + "fc2.bias"),
+        })
+    return cfg, params
+
+
 def load_hf_torch_model(name_or_dir: str, dtype=jnp.bfloat16):
     """Fallback: construct via transformers (torch CPU) and convert.
 
@@ -114,31 +206,4 @@ def load_hf_torch_model(name_or_dir: str, dtype=jnp.bfloat16):
 
     model = AutoModelForCausalLM.from_pretrained(name_or_dir,
                                                  torch_dtype=torch.float32)
-    sd = model.state_dict()
-    cfg = _cfg_from_hf(model.config.to_dict())
-
-    def arr(name):
-        return jnp.asarray(sd[name].numpy()).astype(dtype)
-
-    params: Dict = {
-        "embed_tokens": arr("model.embed_tokens.weight"),
-        "norm": arr("model.norm.weight"),
-        "layers": [],
-    }
-    for i in range(cfg.num_hidden_layers):
-        p = f"model.layers.{i}."
-        params["layers"].append({
-            "input_layernorm": arr(p + "input_layernorm.weight"),
-            "post_attention_layernorm":
-                arr(p + "post_attention_layernorm.weight"),
-            "q_proj": arr(p + "self_attn.q_proj.weight"),
-            "k_proj": arr(p + "self_attn.k_proj.weight"),
-            "v_proj": arr(p + "self_attn.v_proj.weight"),
-            "o_proj": arr(p + "self_attn.o_proj.weight"),
-            "gate_proj": arr(p + "mlp.gate_proj.weight"),
-            "up_proj": arr(p + "mlp.up_proj.weight"),
-            "down_proj": arr(p + "mlp.down_proj.weight"),
-        })
-    if "lm_head.weight" in sd and not cfg.tie_word_embeddings:
-        params["lm_head"] = arr("lm_head.weight")
-    return cfg, params
+    return convert_torch_llama(model, dtype)
