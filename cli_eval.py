@@ -68,10 +68,20 @@ def main(argv=None):
     p.add_argument("--overwrite-results", action="store_true")
     p.add_argument("--tokenizer-dir", default=None)
     p.add_argument("--lm-eval-tasks", default=None,
-                   help="comma-separated lm-evaluation-harness tasks "
-                        "(requires lm_eval installed + a tokenizer)")
+                   help="comma-separated lm-evaluation-harness tasks; "
+                        "'local_mc' runs the builtin offline task through "
+                        "the same LM protocol (no lm_eval install needed)")
     p.add_argument("--lm-eval-limit", type=int, default=None)
+    p.add_argument("--code-tasks", default=None,
+                   help="comma-separated BigCode-style code tasks "
+                        "(builtin, humaneval): generate -> execute -> "
+                        "pass@k")
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (the ambient environment "
+                        "may pin a TPU platform that admits one client)")
     args = p.parse_args(argv)
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
 
     from any4_tpu.evals import harness
     from any4_tpu.models import checkpoint, llama, loader
@@ -125,18 +135,41 @@ def main(argv=None):
         max_chunks=args.max_chunks, synthetic=synthetic, progress=True,
         evaluator=args.evaluator)
 
+    lm = None
+    if args.lm_eval_tasks or args.code_tasks:
+        from any4_tpu.evals import tasks_local
+        from any4_tpu.evals.lm_eval_adapter import JaxCausalLM
+        tok = tokenizer or tasks_local.ByteTokenizer()
+        lm = JaxCausalLM(params, cfg, tok, max_length=args.seqlen)
+
     if args.lm_eval_tasks:
-        from any4_tpu.evals import lm_eval_adapter
-        try:
-            lm_tasks = [t.strip() for t in args.lm_eval_tasks.split(",")]
-            lm_res = lm_eval_adapter.simple_evaluate(
-                params, cfg, tokenizer, lm_tasks, limit=args.lm_eval_limit,
-                max_length=args.seqlen)
-            for t, r in lm_res.get("results", {}).items():
-                results[f"lm-eval:{t}"] = r
-                harness.log_results(args.log_dir, f"lm-eval:{t}", r)
-        except lm_eval_adapter.LmEvalUnavailable as e:
-            print(f"lm-eval skipped: {e}", file=sys.stderr)
+        from any4_tpu.evals import lm_eval_adapter, tasks_local
+        lm_tasks = [t.strip() for t in args.lm_eval_tasks.split(",")]
+        local = [t for t in lm_tasks if t.startswith("local")]
+        remote = [t for t in lm_tasks if not t.startswith("local")]
+        for t in local:
+            r = tasks_local.run_local_task(lm, t)
+            results[f"lm-eval:{t}"] = r
+            harness.log_results(args.log_dir, f"lm-eval:{t}", r)
+        if remote:
+            try:
+                lm_res = lm_eval_adapter.simple_evaluate(
+                    params, cfg, tokenizer, remote,
+                    limit=args.lm_eval_limit, max_length=args.seqlen)
+                for t, r in lm_res.get("results", {}).items():
+                    results[f"lm-eval:{t}"] = r
+                    harness.log_results(args.log_dir, f"lm-eval:{t}", r)
+            except lm_eval_adapter.LmEvalUnavailable as e:
+                print(f"lm-eval skipped: {e}", file=sys.stderr)
+
+    if args.code_tasks:
+        from any4_tpu.evals import code_eval
+        code_tasks = [t.strip() for t in args.code_tasks.split(",")]
+        code_res = code_eval.run_code_tasks(
+            lm, code_tasks, log_dir=args.log_dir, progress=True)
+        for t, r in code_res.items():
+            results[f"code:{t}"] = r
+            harness.log_results(args.log_dir, f"code:{t}", r)
 
     print(json.dumps(results, indent=2))
     return results

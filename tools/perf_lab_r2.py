@@ -222,8 +222,10 @@ def main():
         mp_packed = magic_pack(np.asarray(codes))
         s_t = jnp.asarray(np.asarray(s_, np.float32).T)   # [K/g, N]
         z_t = jnp.asarray(np.asarray(z_, np.float32).T)
-        for nm, kern in (("magic2", _magic2_kernel), ("magic3",
-                                                      _magic3_kernel)):
+        # magic3 (single dot, per-element bf16 scale) is numerically dead:
+        # bf16-rounding the biased (128+c)*s value loses the signal to
+        # cancellation (measured relmaxerr 0.55). magic2 is exact.
+        for nm, kern in (("magic2", _magic2_kernel),):
             for BN in ((512, 1024) if (N, K) == (4096, 4096) else (512,)):
                 if BN > N:
                     continue
@@ -247,7 +249,7 @@ def main():
             sE = jnp.asarray(np.asarray(s_, np.float32))  # [N, G]
             zE = jnp.asarray(np.asarray(z_, np.float32))
 
-            def xla_deq_dot(a, wq, s, z):
+            def xla_deq_dot(a, wq, s, z, N=N, K=K, G=G):
                 wd = (wq.astype(jnp.float32).reshape(N, G, 128)
                       * s[..., None] + z[..., None])
                 return a @ wd.reshape(N, K).astype(jnp.bfloat16).T
@@ -272,10 +274,9 @@ def main():
             # gather width probes: equal total gathers (16.8M)
             tab1 = jnp.asarray(rng.standard_normal((512, 128), np.float32))
             idx1 = jnp.asarray(rng.integers(0, 128, (512, 128), np.int32))
-            tab2 = jnp.asarray(rng.standard_normal((512, 256), np.float32))
-            idx2 = jnp.asarray(rng.integers(0, 256, (512, 256), np.int32))
             fns[f"{tag}/g128"] = (make_gprobe(128, 256), (tab1, idx1))
-            fns[f"{tag}/g256"] = (make_gprobe(256, 128), (tab2, idx2))
+            # g256 probe: Mosaic rejects 256-lane gather operands (compile
+            # error) -- the pair-packed 256-entry-table design is dead
 
     # compile + numeric check
     for name in list(fns):
@@ -300,23 +301,40 @@ def main():
                   flush=True)
             del fns[name]
 
-    # interleaved timing
+    # interleaved timing: the shared pool is bimodal (PERF_NOTES), so run
+    # until enough FAST-regime windows are sampled (bf16 < 100us) or the
+    # wall budget expires; throttled-regime rounds carry no signal
     best = {k: float("inf") for k in fns}
     iters = 20
-    for r in range(40):
+    fast_rounds = 0
+    t_start = time.time()
+    budget_s = float(__import__("os").environ.get("PERF_LAB_BUDGET_S",
+                                                  7200))
+    r = 0
+    while time.time() - t_start < budget_s and fast_rounds < 12:
+        round_bf16 = None
         for name, (f, a) in fns.items():
             t0 = time.perf_counter()
             for _ in range(iters):
                 out = f(*a)
             jax.block_until_ready(out)
-            best[name] = min(best[name],
-                             (time.perf_counter() - t0) / iters)
+            dt = (time.perf_counter() - t0) / iters
+            best[name] = min(best[name], dt)
+            if name == "4096x4096/bf16":
+                round_bf16 = dt
+        if round_bf16 is not None and round_bf16 < 100e-6:
+            fast_rounds += 1
         if r % 5 == 0:
-            b = best.get("4096x4096/bf16", 0) * 1e6
-            print(f"round {r}: bf16 {b:.1f} us", flush=True)
+            print(f"round {r}: bf16 this-round "
+                  f"{(round_bf16 or 0)*1e6:.1f} us, best "
+                  f"{best['4096x4096/bf16']*1e6:.1f} us, "
+                  f"fast_rounds {fast_rounds}", flush=True)
             with open("benchmarks/perf_lab_r2.json", "w") as fh:
                 json.dump({k: v * 1e6 for k, v in best.items()}, fh,
                           indent=1, sort_keys=True)
+        r += 1
+        if round_bf16 is not None and round_bf16 > 500e-6:
+            time.sleep(20)  # throttled: wait out the slow regime cheaply
 
     print("\n=== results (us, best window) ===")
     for tag in sorted({k.split("/")[0] for k in best}):
