@@ -63,16 +63,31 @@ def _open_shards(model_dir: str):
     return get, set(weight_map)
 
 
-def load_llama(model_dir: str, dtype=jnp.bfloat16
+def load_llama(model_dir: str, dtype=jnp.bfloat16, as_numpy: bool = False
                ) -> Tuple["llama.LlamaConfig", Dict]:
-    """Load an HF Llama/Mistral/Qwen2-style checkpoint directory."""
+    """Load an HF Llama/Mistral/Qwen2-style checkpoint directory.
+
+    ``as_numpy=True`` keeps weights host-side (float32 numpy) so the
+    native C++ data plane can quantize+pack without a device round trip
+    (see ops.linear.quantize_tensor)."""
     with open(os.path.join(model_dir, "config.json")) as f:
         hf_cfg = json.load(f)
     cfg = _cfg_from_hf(hf_cfg)
     get, names = _open_shards(model_dir)
 
-    def arr(name):
-        return jnp.asarray(get(name)).astype(dtype)
+    if as_numpy:
+        def arr(name):
+            a = get(name)
+            if a.dtype == np.uint16:  # bf16 raw bits from safetensors
+                from .. import native
+                if native.available():
+                    return native.bf16_to_f32(a).reshape(a.shape)
+                return np.asarray(jnp.asarray(a).view(jnp.bfloat16)
+                                  .astype(jnp.float32))
+            return np.asarray(a, np.float32)
+    else:
+        def arr(name):
+            return jnp.asarray(get(name)).astype(dtype)
 
     params: Dict = {
         "embed_tokens": arr("model.embed_tokens.weight"),

@@ -115,9 +115,11 @@ void group_quantize_f32(const float* w, int64_t n, int64_t k,
       scales[r * groups + g] = scale;
       zeros[r * groups + g] = mn + scale * half;
       uint8_t* crow = codes + r * k + g * group_size;
-      const float inv = 1.0f / scale;
       for (int64_t i = 0; i < group_size; ++i) {
-        float q = std::nearbyint((seg[i] - mn) * inv);
+        // true division, not multiply-by-reciprocal: the jnp reference
+        // divides, and the last-ULP difference flips codes at rounding
+        // boundaries (observed ~1e-5 of elements at checkpoint scale)
+        float q = std::nearbyint((seg[i] - mn) / scale);
         q = std::min(std::max(q, 0.0f), max_int);
         crow[i] = static_cast<uint8_t>(q);
       }

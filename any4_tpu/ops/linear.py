@@ -93,11 +93,31 @@ def quantize_tensor(w: jax.Array, fmt: str = "any4", group_size: int = 128,
     row-parallel TP; see packing.pack_int4).
     """
     from ..quant import anyq  # local import to avoid cycle
+    import numpy as _np
 
     n, k = w.shape
     if group_size <= 0 or group_size > k:
         # whole-row grouping when the layer is narrower than the group
         group_size = k
+    host_input = isinstance(w, _np.ndarray)
+    if fmt == "int4" and host_input and k % group_size == 0:
+        # host-side (checkpoint-conversion) fast path: the C++/OpenMP data
+        # plane quantizes+packs without a device round trip (the analog of
+        # the reference's host conversion stage, TinyGemmConvertB.cu:21-466)
+        from .. import native
+        if native.available():
+            codes_n, scales_n, zeros_n = native.group_quantize(
+                _np.asarray(w, _np.float32), 4, group_size)
+            packed_n = native.pack_int4(codes_n, row_shards)
+            scales, zeros = packing.pad_group_arrays(
+                jnp.asarray(scales_n), jnp.asarray(zeros_n), k, group_size,
+                row_shards)
+            return QuantizedTensor(
+                jnp.asarray(packed_n), scales.T.astype(jnp.float32),
+                zeros.T.astype(jnp.float32), None, fmt, group_size, (n, k),
+                jnp.dtype(w.dtype), row_shards)
+    if host_input:
+        w = jnp.asarray(w)
     if fmt == "int4":
         codes, scales, zeros = quant.group_quantize(w, 4, group_size)
         packed = packing.pack_int4(codes, row_shards)

@@ -220,7 +220,10 @@ def local_config(cfg: "llama.LlamaConfig", tp: int) -> "llama.LlamaConfig":
     return dataclasses.replace(
         cfg,
         num_attention_heads=cfg.num_attention_heads // tp,
-        num_key_value_heads=cfg.num_key_value_heads // tp)
+        num_key_value_heads=cfg.num_key_value_heads // tp,
+        # pin head_dim BEFORE shrinking head counts: a derived
+        # hidden_size // num_attention_heads would silently double
+        head_dim=cfg.head_dim_)
 
 
 def make_tp_forward(cfg: "llama.LlamaConfig", mesh: Mesh, param_spec,

@@ -72,7 +72,8 @@ def _copy_tree(tree):
 
 
 def default_layer_filter(name: str, leaf: Any) -> bool:
-    if not isinstance(leaf, jax.Array) or leaf.ndim != 2:
+    import numpy as np
+    if not isinstance(leaf, (jax.Array, np.ndarray)) or leaf.ndim != 2:
         return False
     last = name.split(".")[-1]
     return last in DEFAULT_LINEAR_KEYS

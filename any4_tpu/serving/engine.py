@@ -1,14 +1,21 @@
 """Continuous-batching inference engine over the paged KV cache.
 
 Host-side scheduler (admit / step / retire) around two jitted device
-programs: a single-sequence prefill that writes prompt KV into the paged
-pool, and a batched decode step over all active slots. Static shapes
-throughout -- slot count, page-table width and context length are fixed at
-engine construction, so XLA compiles exactly two programs.
+programs: a bucketed single-sequence prefill that writes prompt KV into the
+paged pool, and a batched decode step over all active slots. Static shapes
+throughout -- slot count, page-table width, context length and the prompt
+length BUCKET are fixed per compiled program, so XLA compiles one decode
+program and O(log max_prompt) prefill programs (prompts are padded to
+power-of-two buckets; a per-length recompile would defeat serving).
+
+Tensor parallelism: pass ``mesh`` + ``param_spec`` (from
+``parallel.tp.shard_params``) and both programs run under ``shard_map`` --
+column-parallel q/k/v, head-sharded KV pages, row-parallel o/down with
+psum, replicated logits. This is the north-star configuration: sharded
+decode + paged KV + continuous batching in one engine.
 
 The reference has no serving layer; this is the TPU build's new scope
-(BASELINE.json north star: sharded decode + paged KV + continuous
-batching).
+(BASELINE.json north star).
 """
 from __future__ import annotations
 
@@ -34,23 +41,27 @@ class Request:
     done: bool = False
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "page_size"))
-def _prefill_one(params, cfg, prompt, k_pages, v_pages, table_row,
-                 page_size):
-    """Run one prompt [1, t] and write its KV into the paged pool.
-    Returns (last_logits [vocab], k_pages, v_pages)."""
-    t = prompt.shape[1]
-    positions = jnp.arange(t)[None, :]
-    mask = jnp.where(jnp.tril(jnp.ones((t, t), jnp.bool_)), 0.0,
+def _prefill_impl(params, cfg, prompt, true_len, k_pages, v_pages,
+                  table_row, page_size, psum_axis=None):
+    """Run one (bucket-padded) prompt [1, L] and write its first
+    ``true_len`` positions of KV into the paged pool. Returns
+    (last_real_logits [vocab], k_pages, v_pages)."""
+    L = prompt.shape[1]
+    positions = jnp.arange(L)[None, :]
+    q = jnp.arange(L)[:, None]
+    s = jnp.arange(L)[None, :]
+    mask = jnp.where((s <= q) & (s < true_len), 0.0,
                      -1e9)[None, None].astype(jnp.float32)
     # temporary dense cache for the prefill, then scatter into pages
-    caches = llama.init_kv_caches(cfg, 1, t)
+    caches = llama.init_kv_caches(cfg, 1, L)
     logits, caches = llama.forward(params, cfg, prompt, positions=positions,
                                    kv_caches=caches, cache_pos=None,
-                                   mask=mask)
-    pos = jnp.arange(t)
-    page_ids = table_row[pos // page_size]          # [t]
-    offsets = pos % page_size
+                                   mask=mask, psum_axis=psum_axis)
+    pos = jnp.arange(L)
+    real = pos < true_len
+    # padded positions write to page 0, the reserved scratch sink
+    page_ids = jnp.where(real, table_row[pos // page_size], 0)   # [L]
+    offsets = jnp.where(real, pos % page_size, 0)
     new_k, new_v = [], []
     for li in range(cfg.num_hidden_layers):
         kc, vc = caches[li]
@@ -59,21 +70,18 @@ def _prefill_one(params, cfg, prompt, k_pages, v_pages, table_row,
         new_v.append(kvc.write_tokens(v_pages[li], vc, page_ids[None],
                                       offsets[None]))
     # (quantized pools are handled transparently by write_tokens)
-    return logits[0, -1], new_k, new_v
+    return logits[0, true_len - 1], new_k, new_v
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "page_size"))
-def _decode_batch(params, cfg, tokens, seq_lens, tables, k_pages, v_pages,
-                  active, page_size):
+def _decode_impl(params, cfg, tokens, seq_lens, tables, k_pages, v_pages,
+                 page_size, psum_axis=None):
     """One decode step for all slots.
 
     tokens: [b] int32 current token per slot; seq_lens: [b] current length
-    (the new token's position); tables: [b, pps]; active: [b] bool.
+    (the new token's position); tables: [b, pps].
     Returns (logits [b, vocab], k_pages, v_pages).
     """
     b = tokens.shape[0]
-    pps = tables.shape[1]
-    max_ctx = pps * page_size
     positions = seq_lens[:, None]                   # [b, 1]
     cos, sin = llama.rope_tables(cfg, positions)
     x = jnp.take(params["embed_tokens"], tokens[:, None],
@@ -113,10 +121,12 @@ def _decode_batch(params, cfg, tokens, seq_lens, tables, k_pages, v_pages,
                                   seq_lens + 1, tables)
         out = out.astype(x.dtype).reshape(b, 1, nq * hd)
         out = lin.linear(out, layer["o_proj"], layer.get("o_bias"))
+        if psum_axis is not None:
+            out = jax.lax.psum(out, psum_axis)
         x = x + out
         h = llama.rms_norm(x, layer["post_attention_layernorm"],
                            cfg.rms_norm_eps)
-        x = x + llama.mlp(layer, h)
+        x = x + llama.mlp(layer, h, psum_axis=psum_axis)
 
     x = llama.rms_norm(x, params["norm"], cfg.rms_norm_eps)
     if "lm_head" in params:
@@ -126,19 +136,36 @@ def _decode_batch(params, cfg, tokens, seq_lens, tables, k_pages, v_pages,
     return logits[:, -1, :], new_k, new_v
 
 
+_prefill_one = functools.partial(jax.jit,
+                                 static_argnames=("cfg", "page_size"))(
+    lambda params, cfg, prompt, true_len, k_pages, v_pages, table_row,
+    page_size: _prefill_impl(params, cfg, prompt, true_len, k_pages,
+                             v_pages, table_row, page_size))
+
+_decode_batch = functools.partial(jax.jit,
+                                  static_argnames=("cfg", "page_size"))(
+    lambda params, cfg, tokens, seq_lens, tables, k_pages, v_pages,
+    page_size: _decode_impl(params, cfg, tokens, seq_lens, tables,
+                            k_pages, v_pages, page_size))
+
+
 class Engine:
     """Continuous-batching engine: admit requests into slots, run batched
     decode, retire finished sequences and recycle their pages."""
+
+    MIN_PREFILL_BUCKET = 16
 
     def __init__(self, params, cfg, max_slots: int = 8,
                  max_ctx: int = 512, page_size: int = 16,
                  num_pages: Optional[int] = None,
                  sample_fn: Optional[Callable] = None,
-                 kv_quantize: bool = False):
+                 kv_quantize: bool = False,
+                 mesh=None, param_spec=None):
         self.params = params
         self.cfg = cfg
         self.page_size = page_size
         self.pps = -(-max_ctx // page_size)
+        self.max_ctx = self.pps * page_size
         self.max_slots = max_slots
         num_pages = num_pages or (max_slots * self.pps + 1)
         self.cache = kvc.PagedKVCache.create(cfg, num_pages, page_size,
@@ -152,12 +179,85 @@ class Engine:
         self._uid = 0
         self.sample_fn = sample_fn or (lambda lg: jnp.argmax(lg, axis=-1))
 
+        self.mesh = mesh
+        if mesh is not None:
+            assert param_spec is not None, \
+                "TP engine needs the param_spec from tp.shard_params"
+            self._make_tp_fns(param_spec, kv_quantize)
+        else:
+            self._prefill_fn = _prefill_one
+            self._decode_fn = _decode_batch
+
+    # ------------------------------------------------------------------ TP
+    def _make_tp_fns(self, param_spec, kv_quantize: bool):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..parallel import tp as tpmod
+
+        mesh = self.mesh
+        tp_size = mesh.shape["tp"]
+        cfg_local = tpmod.local_config(self.cfg, tp_size)
+        n_layers = self.cfg.num_hidden_layers
+        arr_spec = P("tp", None, None, None)
+        # quantized pools are (int8 pages, scales) pairs; both shard over
+        # the kv-head axis
+        page_spec = (arr_spec, arr_spec) if kv_quantize else arr_spec
+        pages_spec = [page_spec for _ in range(n_layers)]
+        ps = self.page_size
+
+        def prefill_local(params, prompt, true_len, k_pages, v_pages,
+                          table_row):
+            return _prefill_impl(params, cfg_local, prompt, true_len,
+                                 k_pages, v_pages, table_row, ps,
+                                 psum_axis="tp")
+
+        def decode_local(params, tokens, seq_lens, tables, k_pages,
+                         v_pages):
+            return _decode_impl(params, cfg_local, tokens, seq_lens,
+                                tables, k_pages, v_pages, ps,
+                                psum_axis="tp")
+
+        pre = jax.shard_map(
+            prefill_local, mesh=mesh,
+            in_specs=(param_spec, P(None, None), P(), pages_spec,
+                      pages_spec, P(None)),
+            out_specs=(P(None), pages_spec, pages_spec),
+            check_vma=False)
+        dec = jax.shard_map(
+            decode_local, mesh=mesh,
+            in_specs=(param_spec, P(None), P(None), P(None, None),
+                      pages_spec, pages_spec),
+            out_specs=(P(None, None), pages_spec, pages_spec),
+            check_vma=False)
+        pre, dec = jax.jit(pre), jax.jit(dec)
+        self._prefill_fn = \
+            lambda params, cfg, prompt, tl, kp, vp, row, _ps: \
+            pre(params, prompt, tl, kp, vp, row)
+        self._decode_fn = \
+            lambda params, cfg, tokens, sl, tbl, kp, vp, _ps: \
+            dec(params, tokens, sl, tbl, kp, vp)
+        # shard the page pools over heads once up front
+        def put(p):
+            if isinstance(p, tuple):
+                return tuple(jax.device_put(x, NamedSharding(mesh, s))
+                             for x, s in zip(p, page_spec))
+            return jax.device_put(p, NamedSharding(mesh, arr_spec))
+        self.cache.k_pages = [put(p) for p in self.cache.k_pages]
+        self.cache.v_pages = [put(p) for p in self.cache.v_pages]
+
+    # ----------------------------------------------------------- requests
     def submit(self, prompt, max_new_tokens: int = 32,
                eos_token_id: Optional[int] = None) -> int:
         self._uid += 1
         self.pending.append(Request(self._uid, np.asarray(prompt, np.int32),
                                     max_new_tokens, eos_token_id))
         return self._uid
+
+    def _bucket(self, n: int) -> int:
+        L = self.MIN_PREFILL_BUCKET
+        while L < n:
+            L *= 2
+        return min(L, self.max_ctx)
 
     def _admit(self):
         for i in range(self.max_slots):
@@ -168,11 +268,14 @@ class Engine:
             if not self.alloc.ensure(i, t + 1, self.page_size):
                 self.pending.insert(0, req)
                 break
+            L = self._bucket(t)
+            padded = np.zeros(L, np.int32)
+            padded[:t] = req.prompt[-L:]
             table_row = jnp.asarray(self.alloc.table[i])
-            last_logits, new_k, new_v = _prefill_one(
-                self.params, self.cfg, jnp.asarray(req.prompt[None]),
-                self.cache.k_pages, self.cache.v_pages, table_row,
-                self.page_size)
+            last_logits, new_k, new_v = self._prefill_fn(
+                self.params, self.cfg, jnp.asarray(padded[None]),
+                jnp.int32(min(t, L)), self.cache.k_pages,
+                self.cache.v_pages, table_row, self.page_size)
             self.cache.k_pages, self.cache.v_pages = new_k, new_v
             tok = int(self.sample_fn(last_logits[None])[0])
             req.out_tokens.append(tok)
@@ -201,12 +304,10 @@ class Engine:
         active = [i for i, r in enumerate(self.slots) if r is not None]
         if not active:
             return 0
-        logits, new_k, new_v = _decode_batch(
+        logits, new_k, new_v = self._decode_fn(
             self.params, self.cfg, jnp.asarray(self.tokens),
             jnp.asarray(self.seq_lens), jnp.asarray(self.alloc.table),
-            self.cache.k_pages, self.cache.v_pages,
-            jnp.asarray([s is not None for s in self.slots]),
-            self.page_size)
+            self.cache.k_pages, self.cache.v_pages, self.page_size)
         self.cache.k_pages, self.cache.v_pages = new_k, new_v
         next_tokens = np.asarray(self.sample_fn(logits))
         for i in active:

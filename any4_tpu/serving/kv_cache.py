@@ -25,6 +25,7 @@ from typing import List, Optional, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.experimental import pallas as pl
 
 
 @dataclass
@@ -135,19 +136,115 @@ def gather_ctx(pages, table: jax.Array) -> jax.Array:
     return g.transpose(1, 2, 0, 3)                  # [b, ctx, h, d]
 
 
+def _flash_decode_kernel(seq_ref, tbl_ref, q_ref, k_ref, v_ref, o_ref,
+                         m_ref, l_ref, acc_ref, *, ps: int, scale: float):
+    """Flash decode attention over paged KV for ONE (batch, kv-head) pair,
+    one physical page per grid step (page ids arrive via scalar prefetch).
+
+    head_dim sits on the CONTRACTION axis of the two small dots, so any
+    head_dim works (the upstream pallas paged_attention kernel tiles
+    head_dim on lanes and requires head_dim % 128 == 0 -- which excludes
+    hd=64 models like Llama-3.2-1B)."""
+    b_, i = pl.program_id(0), pl.program_id(2)
+    npages = pl.num_programs(2)
+
+    @pl.when(i == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, -1e30)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0, 0].astype(jnp.float32)          # [rep, hd]
+    k = k_ref[0, 0].astype(jnp.float32)          # [ps, hd]
+    v = v_ref[0, 0].astype(jnp.float32)
+    s = jax.lax.dot_general(q * scale, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)  # [rep, ps]
+    pos = i * ps + jax.lax.broadcasted_iota(jnp.int32, (1, ps), 1)
+    s = jnp.where(pos < seq_ref[b_], s, -1e30)
+
+    m_prev = m_ref[:, 0:1]                       # [rep, 1]
+    l_prev = l_ref[:, 0:1]
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+    p = jnp.exp(s - m_new)                       # [rep, ps]
+    alpha = jnp.exp(m_prev - m_new)              # [rep, 1]
+    l_new = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+    acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
+        p, v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)      # [rep, hd]
+    m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
+    l_ref[:] = jnp.broadcast_to(l_new, l_ref.shape)
+
+    @pl.when(i == npages - 1)
+    def _():
+        o_ref[0, 0] = (acc_ref[:] /
+                       jnp.maximum(l_ref[:, 0:1], 1e-30)).astype(o_ref.dtype)
+
+
+def flash_paged_decode(q: jax.Array, k_pages: jax.Array, v_pages: jax.Array,
+                       seq_lens: jax.Array, table: jax.Array,
+                       interpret: bool = False) -> jax.Array:
+    """Paged flash decode supporting ANY head_dim: q [b, nq, d] ->
+    [b, nq, d]. Page tables and sequence lengths are scalar-prefetched so
+    each grid step DMAs exactly one physical page."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, nq, d = q.shape
+    h, P, ps, _ = k_pages.shape
+    rep = nq // h
+    pps = table.shape[1]
+    qh = q.reshape(b, h, rep, d)
+    scale = 1.0 / np.sqrt(d)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(b, h, pps),
+        in_specs=[
+            pl.BlockSpec((1, 1, rep, d),
+                         lambda b_, h_, i, seq, tbl: (b_, h_, 0, 0)),
+            pl.BlockSpec((1, 1, ps, d),
+                         lambda b_, h_, i, seq, tbl: (h_, tbl[b_, i], 0, 0)),
+            pl.BlockSpec((1, 1, ps, d),
+                         lambda b_, h_, i, seq, tbl: (h_, tbl[b_, i], 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, rep, d),
+                               lambda b_, h_, i, seq, tbl: (b_, h_, 0, 0)),
+        scratch_shapes=[pltpu.VMEM((rep, 128), jnp.float32),
+                        pltpu.VMEM((rep, 128), jnp.float32),
+                        pltpu.VMEM((rep, d), jnp.float32)],
+    )
+    kern = functools.partial(_flash_decode_kernel, ps=ps, scale=scale)
+    out = pl.pallas_call(
+        kern, grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, h, rep, d), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        interpret=interpret,
+    )(seq_lens.astype(jnp.int32), table.astype(jnp.int32), qh,
+      k_pages, v_pages)
+    return out.reshape(b, nq, d)
+
+
 def paged_attention(q: jax.Array, k_pages: jax.Array, v_pages: jax.Array,
                     seq_lens: jax.Array, table: jax.Array,
                     pages_per_compute_block: int = 4) -> jax.Array:
     """Flash paged attention for decode: q [b, nq, d] -> out [b, nq, d].
 
-    Uses the TPU Pallas kernel when on TPU; otherwise a dense-gather
-    reference (identical math, O(3x) more HBM traffic).
+    On TPU: the upstream pallas paged_attention kernel when
+    head_dim % 128 == 0 (it tiles head_dim on lanes), else our
+    :func:`flash_paged_decode` (head_dim on the contraction axis -- covers
+    hd=64 flagships). Off-TPU: a dense-gather reference (identical math) --
+    except unquantized pools, which run flash_paged_decode in interpret
+    mode so the kernel itself is CI-covered.
     """
     b, nq, d = q.shape
     quantized = isinstance(k_pages, tuple)
     h = (k_pages[0] if quantized else k_pages).shape[0]
-    # the flash kernel's blocks tile head_dim on the lane axis: requires
-    # head_dim % 128 == 0 (validated on hardware; hd=64 fails to lower)
+    if not quantized and d % 128 != 0:
+        # int8-quantized pools still take the dense fallback at hd%128!=0:
+        # the custom kernel would need per-page scale blocks with a 1-wide
+        # lane dim, which Mosaic does not tile
+        return flash_paged_decode(q, k_pages, v_pages, seq_lens, table,
+                                  interpret=jax.default_backend() != "tpu")
     if jax.default_backend() == "tpu" and d % 128 == 0:
         from jax.experimental.pallas.ops.tpu.paged_attention import (
             paged_attention as pa, quantization_utils as qu)

@@ -46,6 +46,28 @@ class TestNativeQuantize:
         np.testing.assert_array_equal(c0, np.asarray(c1))
 
 
+class TestNativeQuantizePath:
+    def test_quantize_tensor_numpy_input_uses_native_and_matches(self):
+        """quantize_tensor on a host numpy array routes through the C++
+        data plane and must produce bit-identical packed/scales to the jnp
+        path (the native plane is the real pipeline stage for checkpoint
+        conversion, not a bystander)."""
+        from any4_tpu.ops import linear as lin
+        rng = np.random.RandomState(5)
+        w = rng.randn(64, 1536).astype(np.float32)
+        qt_native = lin.quantize_tensor(w, "int4", group_size=128,
+                                        row_shards=2)
+        qt_jnp = lin.quantize_tensor(jnp.asarray(w), "int4", group_size=128,
+                                     row_shards=2)
+        np.testing.assert_array_equal(np.asarray(qt_native.packed),
+                                      np.asarray(qt_jnp.packed))
+        np.testing.assert_allclose(np.asarray(qt_native.scales),
+                                   np.asarray(qt_jnp.scales), rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(qt_native.zeros),
+                                   np.asarray(qt_jnp.zeros), rtol=1e-6)
+        assert qt_native.row_shards == 2
+
+
 class TestNativeLutAssign:
     def test_matches_jnp(self):
         rng = np.random.RandomState(4)

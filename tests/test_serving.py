@@ -128,6 +128,103 @@ class TestEngine:
         assert len(out) <= 3 and out[-1] == eos
 
 
+class TestFlashPagedDecode:
+    @pytest.mark.parametrize("hd", [16, 64])
+    def test_matches_dense_reference(self, hd):
+        """The custom paged flash kernel (any head_dim, incl. the hd=64
+        flagship the upstream kernel cannot lower) must match the dense
+        gather+softmax reference exactly."""
+        h, P, ps = 2, 9, 8
+        b, nq = 3, 4
+        rng = np.random.RandomState(0)
+        kp = jnp.asarray(rng.randn(h, P, ps, hd), jnp.float32)
+        vp = jnp.asarray(rng.randn(h, P, ps, hd), jnp.float32)
+        q = jnp.asarray(rng.randn(b, nq, hd), jnp.float32)
+        table = jnp.asarray([[1, 2, 3, 4], [5, 6, 7, 8], [4, 3, 2, 1]],
+                            jnp.int32)
+        lens = jnp.asarray([5, 17, 32], jnp.int32)
+        out = kvc.flash_paged_decode(q, kp, vp, lens, table, interpret=True)
+        kctx = kvc.gather_ctx(kp, table)
+        vctx = kvc.gather_ctx(vp, table)
+        rep = nq // h
+        kx = jnp.repeat(kctx, rep, axis=2)
+        vx = jnp.repeat(vctx, rep, axis=2)
+        lg = jnp.einsum("bhd,bshd->bhs", q, kx) / np.sqrt(hd)
+        mask = jnp.where(jnp.arange(kctx.shape[1])[None, None, :]
+                         < lens[:, None, None], 0.0, -1e9)
+        pr = jax.nn.softmax(lg + mask, -1)
+        ref = jnp.einsum("bhs,bshd->bhd", pr, vx)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-5)
+
+
+class TestPrefillBuckets:
+    def test_varied_prompt_lengths_one_bucket_program(self, tiny):
+        """Prompts of different lengths land in shared power-of-two
+        buckets and still decode identically to the unpadded generator."""
+        cfg, params = tiny
+        e = eng.Engine(params, cfg, max_slots=2, max_ctx=64, page_size=8)
+        rng = np.random.RandomState(7)
+        for n in (3, 9, 13, 15):  # buckets: 16, 16, 16, 16
+            p = rng.randint(0, cfg.vocab_size, size=n).astype(np.int32)
+            ref = generate.generate(params, cfg, jnp.asarray(p[None]),
+                                    max_new_tokens=4)
+            e.submit(p, max_new_tokens=4)
+            done = e.run()
+            np.testing.assert_array_equal(
+                np.asarray(done[0].out_tokens), np.asarray(ref[0, n:]))
+
+
+class TestTPEngine:
+    """North-star configuration: sharded decode + paged KV + continuous
+    batching in one engine (BASELINE.json)."""
+
+    @pytest.mark.skipif(len(jax.devices()) < 2, reason="needs 2+ devices")
+    def test_tp_engine_matches_single(self, tiny):
+        from any4_tpu.parallel import tp
+        cfg, params = tiny
+        mesh = tp.make_mesh(dp=1, tp=2, devices=jax.devices()[:2])
+        sharded, specs = tp.shard_params(params, mesh, cfg=cfg)
+        rng = np.random.RandomState(3)
+        prompts = [rng.randint(0, cfg.vocab_size, size=n).astype(np.int32)
+                   for n in (5, 8, 3)]
+        single = eng.Engine(params, cfg, max_slots=2, max_ctx=32,
+                            page_size=8)
+        uids_s = [single.submit(p, max_new_tokens=4) for p in prompts]
+        ref = {u: r.out_tokens for u, r in
+               zip(uids_s, sorted(single.run(), key=lambda r: r.uid))}
+        e = eng.Engine(sharded, cfg, max_slots=2, max_ctx=32, page_size=8,
+                       mesh=mesh, param_spec=specs)
+        uids = [e.submit(p, max_new_tokens=4) for p in prompts]
+        done = {r.uid: r.out_tokens for r in e.run()}
+        for u_s, u in zip(uids_s, uids):
+            np.testing.assert_array_equal(done[u], ref[u_s])
+
+    @pytest.mark.skipif(len(jax.devices()) < 2, reason="needs 2+ devices")
+    def test_tp_engine_quantized_weights_fused(self, tiny):
+        """The full flagship stack at once: any4-quantized fused-projection
+        weights, tensor-parallel decode, paged KV."""
+        from any4_tpu.models import fuse
+        from any4_tpu.parallel import tp
+        from any4_tpu.quant import api
+        cfg, params = tiny
+        qparams = api.quantize_model(params, fmt="any4", group_size=32,
+                                     kmeans_iters=3, row_parallel_shards=2)
+        fused = fuse.fuse_projections(qparams)
+        mesh = tp.make_mesh(dp=1, tp=2, devices=jax.devices()[:2])
+        sharded, specs = tp.shard_params(fused, mesh, cfg=cfg)
+        prompt = np.asarray([3, 1, 4, 1, 5], np.int32)
+        single = eng.Engine(fused, cfg, max_slots=1, max_ctx=32,
+                            page_size=8)
+        single.submit(prompt, max_new_tokens=4)
+        expect = single.run()[0].out_tokens
+        e = eng.Engine(sharded, cfg, max_slots=1, max_ctx=32, page_size=8,
+                       mesh=mesh, param_spec=specs)
+        e.submit(prompt, max_new_tokens=4)
+        got = e.run()[0].out_tokens
+        np.testing.assert_array_equal(got, expect)
+
+
 class TestQuantizedKV:
     def test_int8_kv_write_gather_roundtrip(self):
         pages = (jnp.zeros((2, 4, 8, 4), jnp.int8),
