@@ -4,8 +4,9 @@ Per-layer weight statistics (mean/std/min/max/entropy via histogram,
 reference analyze.py:30-33,129-140) and quantization-error metrics (MSE of W
 and of layer outputs Y under each quantization method, optionally with
 calibrated activations; reference analyze.py:241-269), emitted as a CSV plus
-an aggregate summary. Plotting (the reference's plots.pdf) is optional and
-gated on matplotlib availability.
+an aggregate summary. :func:`write_plots` emits the reference's plots.pdf
+equivalent (weight surface / histogram / sample rows per layer +
+per-format error summary, analyze.py:143-155,336-395).
 """
 from __future__ import annotations
 
@@ -93,6 +94,76 @@ def analyze_model(params: Dict, fmts: List[str] = ("int4", "nf4", "any4"),
                 wcsv.writeheader()
                 wcsv.writerows(rows)
     return rows
+
+
+# colorblind-safe categorical order (Okabe-Ito), fixed assignment by
+# format; linestyles double-encode identity for CVD/print
+_CAT_COLORS = ("#0072B2", "#E69F00", "#009E73", "#CC79A7", "#56B4E9")
+_LINESTYLES = ("-", "--", "-.", ":", "-")
+
+
+def write_plots(params: Dict, rows: List[Dict], out_dir: str,
+                layer_filter=default_layer_filter,
+                max_layers: int = 8) -> Optional[str]:
+    """Emit plots.pdf: per-layer weight surface (diverging, zero-centered),
+    value histogram and sample rows, plus a per-format w_mse summary (the
+    reference's surface/histogram/row plots, analyze.py:336-395)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    from matplotlib.backends.backend_pdf import PdfPages
+
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, "plots.pdf")
+    with PdfPages(path) as pdf:
+        count = 0
+        for name, leaf, _ in _walk(params):
+            if not layer_filter(name, leaf) or count >= max_layers:
+                continue
+            count += 1
+            w = np.asarray(leaf, dtype=np.float32)
+            fig, axes = plt.subplots(1, 3, figsize=(12.5, 3.4))
+            sub = w[:min(256, w.shape[0]), :min(256, w.shape[1])]
+            vmax = float(np.abs(sub).max()) or 1.0
+            im = axes[0].imshow(sub, aspect="auto", cmap="RdBu_r",
+                                vmin=-vmax, vmax=vmax)
+            fig.colorbar(im, ax=axes[0], fraction=0.046)
+            axes[0].set_title(f"{name} surface", fontsize=9)
+            axes[1].hist(w.reshape(-1)[:262144], bins=100,
+                         color=_CAT_COLORS[0])
+            axes[1].set_title("value histogram", fontsize=9)
+            for r in range(min(3, w.shape[0])):
+                axes[2].plot(sub[r], lw=0.8, color=_CAT_COLORS[r],
+                             linestyle=_LINESTYLES[r], label=f"row {r}")
+            axes[2].legend(fontsize=7)
+            axes[2].set_title("sample rows", fontsize=9)
+            fig.tight_layout()
+            pdf.savefig(fig)
+            plt.close(fig)
+        # summary: per-layer w_mse by format (log scale)
+        fmt_keys = sorted({k[:-len("_w_mse")] for r in rows for k in r
+                           if k.endswith("_w_mse")})
+        if rows and fmt_keys:
+            fig, ax = plt.subplots(figsize=(12.5, 3.8))
+            xs = np.arange(len(rows))
+            for j, f in enumerate(fmt_keys):
+                ys = [r.get(f + "_w_mse", np.nan) for r in rows]
+                ax.plot(xs, ys, marker="o", ms=4, lw=1.6,
+                        color=_CAT_COLORS[j % len(_CAT_COLORS)],
+                        linestyle=_LINESTYLES[j % len(_LINESTYLES)],
+                        label=f)
+            ax.set_yscale("log")
+            ax.set_xticks(xs)
+            ax.set_xticklabels([r["layer"] for r in rows], rotation=60,
+                               fontsize=6, ha="right")
+            ax.set_ylabel("weight MSE")
+            ax.legend(fontsize=8)
+            ax.set_title("quantization error by layer and format",
+                         fontsize=10)
+            fig.tight_layout()
+            pdf.savefig(fig)
+            plt.close(fig)
+    return path
 
 
 def diff_models(params_a: Dict, params_b: Dict, cfg, input_ids,

@@ -39,12 +39,25 @@ def _train(wg, w, lut0, scales, zeros, x, key, group_size, objective,
            steps, lr):
     opt = optax.adam(lr)
 
+    def nlc_loss(output, label):
+        # negative log of the mean per-row cosine similarity (reference
+        # nlc_loss, quantize.py:678-684)
+        num = jnp.sum(output * label, axis=-1)
+        den = jnp.linalg.norm(output, axis=-1) * \
+            jnp.linalg.norm(label, axis=-1) + 1e-8
+        cos = jnp.abs(jnp.mean(num / den))
+        return -jnp.log(jnp.maximum(cos, 1e-8))
+
     def loss_fn(lut, assign):
         wq = _reconstruct(lut, assign, scales, zeros, group_size)
         if objective == "w_mse":
             return jnp.mean((wq - w) ** 2)
+        if objective == "w_cossim":
+            return nlc_loss(wq, w)
         y = x @ w.T
         yq = x @ wq.T
+        if objective == "y_cossim":
+            return nlc_loss(yq.T, y.T)  # per output-channel cossim
         return jnp.mean((y - yq) ** 2)
 
     def step(carry, _):
@@ -68,14 +81,16 @@ def learn_lut(w: jax.Array, lut_init: jax.Array, scales: jax.Array,
               seed: int = 0):
     """Refine per-row LUTs (in the [0, 15] group-normalized domain).
 
-    Returns ``(lut, assign)``. ``sample_activations`` [t, k] drive the
-    ``y_mse`` objective; random activations are drawn if absent (reference
-    learn_anyq X_val fallback, quantize.py:728-733).
+    Returns ``(lut, assign)``. ``objective`` is one of
+    ``{w_mse, y_mse, w_cossim, y_cossim}`` (the reference's W_mse / Y_mse /
+    *cossim criteria, quantize.py:707-714); ``sample_activations`` [t, k]
+    drive the y_* objectives; random activations are drawn if absent
+    (reference learn_anyq X_val fallback, quantize.py:728-733).
     """
     w = jnp.asarray(w, jnp.float32)
     wg, _, _ = group_codes_float(w, 4, group_size)
     key = jax.random.PRNGKey(seed)
-    if objective == "y_mse":
+    if objective in ("y_mse", "y_cossim"):
         if sample_activations is None:
             x = jax.random.normal(key, (256, w.shape[1]), jnp.float32)
         else:

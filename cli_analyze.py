@@ -18,6 +18,8 @@ def main(argv=None):
     p.add_argument("--log-dir", default="logs/analyze")
     p.add_argument("--calibration", default=None,
                    help=".npz from cli_calibrate.py for sample weights")
+    p.add_argument("--no-plots", action="store_true",
+                   help="skip writing plots.pdf")
     args = p.parse_args(argv)
 
     from any4_tpu.evals import analyze, harness
@@ -40,6 +42,9 @@ def main(argv=None):
         group_size=args.group_size, sample_weights=sw,
         out_dir=args.log_dir, progress=True)
     print(f"wrote {len(rows)} rows to {args.log_dir}/stats.csv")
+    if not args.no_plots:
+        path = analyze.write_plots(params, rows, args.log_dir)
+        print(f"wrote {path}")
 
 
 if __name__ == "__main__":

@@ -47,6 +47,10 @@ def main(argv=None):
     p.add_argument("--batch", type=int, default=1)
     p.add_argument("--prompt-tokens", type=int, default=32)
     p.add_argument("--max-new-tokens", type=int, default=64)
+    p.add_argument("--profile", action="store_true",
+                   help="per-layer attention vs MLP timing breakdown "
+                        "(the reference HookBasedProfiler equivalent)")
+    p.add_argument("--profile-ctx", type=int, default=256)
     args = p.parse_args(argv)
 
     from any4_tpu.models import llama, loader
@@ -70,13 +74,20 @@ def main(argv=None):
     tps_q = decode_tokens_per_s(qparams, cfg, prompt, args.max_new_tokens)
     print(f"{args.quantize}: {tps_q:.1f} tok/s", file=sys.stderr)
 
-    print(json.dumps({
+    out = {
         "baseline_tok_s": round(tps_base, 2),
         f"{args.quantize}_tok_s": round(tps_q, 2),
         "speedup": round(tps_q / tps_base, 3),
         "model_bytes_baseline": api.model_size_bytes(params),
         "model_bytes_quantized": api.model_size_bytes(qparams),
-    }))
+    }
+    if args.profile:
+        from any4_tpu.profiler import profile_decode_components
+        out["profile_baseline"] = profile_decode_components(
+            params, cfg, batch=args.batch, ctx=args.profile_ctx)
+        out["profile_quantized"] = profile_decode_components(
+            qparams, cfg, batch=args.batch, ctx=args.profile_ctx)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
