@@ -122,6 +122,14 @@ def quantize_tensor(w: jax.Array, fmt: str = "any4", group_size: int = 128,
         codes, scales, zeros = quant.group_quantize(w, 4, group_size)
         packed = packing.pack_int4(codes, row_shards)
         lut = None
+    elif fmt == "int4p":
+        # pair-packed int4 for the magic-number (gather-free) kernel;
+        # identical numbers to fmt="int4", different word layout
+        assert group_size % 128 == 0, \
+            "int4p requires group_size a multiple of 128"
+        codes, scales, zeros = quant.group_quantize(w, 4, group_size)
+        packed = packing.pack_int4_pair(codes, row_shards)
+        lut = None
     elif fmt == "any4":
         codes, lut01, scales, zeros = anyq.any4_quantize(
             w, n_bit=4, group_size=group_size, **kwargs)
@@ -159,7 +167,8 @@ def dequantize_tensor(qt: QuantizedTensor, dtype=None) -> jax.Array:
     if qt.row_shards > 1:
         S = qt.row_shards
         n, k = qt.shape
-        denom = 8 if qt.fmt in _NIBBLE_FMTS else 1
+        denom = 8 if qt.fmt in _NIBBLE_FMTS else \
+            4 if qt.fmt == "int4p" else 1
         shard_words = packing.padded_k(k // S) // denom
         if qt.packed.shape[1] == shard_words:
             # live leaf holds ONE k-shard (inside shard_map the static
@@ -181,13 +190,17 @@ def dequantize_tensor(qt: QuantizedTensor, dtype=None) -> jax.Array:
         return jnp.concatenate(parts, axis=1)
     n, k = qt.shape
     dtype = dtype or qt.dtype
-    kp = qt.packed.shape[1] * (8 if qt.fmt in _NIBBLE_FMTS else 1)
+    kp = qt.packed.shape[1] * (8 if qt.fmt in _NIBBLE_FMTS else
+                               4 if qt.fmt == "int4p" else 1)
     g = qt.group_size
     if qt.fmt == "int8":
         q = qt.packed.astype(jnp.float32)
     else:
-        codes = packing.unpack_int4(qt.packed, kp).astype(jnp.int32)
-        if qt.fmt == "int4":
+        if qt.fmt == "int4p":
+            codes = packing.unpack_int4_pair(qt.packed, kp).astype(jnp.int32)
+        else:
+            codes = packing.unpack_int4(qt.packed, kp).astype(jnp.int32)
+        if qt.fmt in ("int4", "int4p"):
             q = (codes - 8).astype(jnp.float32)
         elif qt.fmt == "any4" and qt.lut.shape[0] != 1:
             q = jnp.take_along_axis(qt.lut.astype(jnp.float32), codes, axis=1)
@@ -236,10 +249,11 @@ def linear(x: jax.Array, w, bias: Optional[jax.Array] = None, *,
             # n from the live array, not static metadata: inside shard_map
             # the leaves are local shards while .shape still describes the
             # full logical tensor
+            n_local = w.packed.shape[0] * (2 if w.fmt == "int4p" else 1)
             y = gemv.quantized_matmul(
                 xq, w.packed, w.scales, w.zeros, w.lut,
                 fmt=_kernel_fmt(w.fmt, w.lut), group_size=w.group_size,
-                n=w.packed.shape[0], block_n=block_n, out_dtype=x.dtype,
+                n=n_local, block_n=block_n, out_dtype=x.dtype,
                 use_gather=use_gather, interpret=interpret, k_chunk=k_chunk)
         else:
             wd = dequantize_tensor(w, dtype=x.dtype)

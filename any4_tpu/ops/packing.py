@@ -115,6 +115,54 @@ def pad_group_arrays(scales: jax.Array, zeros: jax.Array | None, k: int,
     return scales, zeros
 
 
+def pack_int4_pair(codes: jax.Array, shards: int = 1) -> jax.Array:
+    """Pair-packed layout for the magic-number int4 kernel: TWO output rows
+    per int32 word, ``[n/2, k_padded/4]``.
+
+    ``word[rp, kb*128 + l]`` bit-field ``[4p + 16h, +4)`` holds
+    ``codes[2*rp + h, kb*512 + p*128 + l]``: nibble plane ``p`` covers one
+    contiguous 128-wide k-slice (= one g=128 quant group) and halves ``h``
+    are the row pair, so ``(word >> 4p) & 0x000F000F | 0x43004300`` bitcast
+    to bf16 yields ``128 + code`` for both rows at once (the TPU analog of
+    the reference's fp16 magic-number dequant, Dequantization.cuh:136-260).
+    ``n`` must be even.
+    """
+    n, k = codes.shape
+    assert n % 2 == 0, f"pair packing needs an even n, got {n}"
+    if shards > 1:
+        assert k % shards == 0
+        parts = [pack_int4_pair(
+            codes[:, s * (k // shards):(s + 1) * (k // shards)])
+            for s in range(shards)]
+        return jnp.concatenate(parts, axis=1)
+    kp = padded_k(k)
+    c = pad_axis(codes.astype(jnp.uint32), 1, kp)
+    c = c.reshape(n // 2, 2, kp // 512, 4, 128)
+    sh = (4 * jnp.arange(4, dtype=jnp.uint32))[None, None, None, :, None] \
+        + (16 * jnp.arange(2, dtype=jnp.uint32))[None, :, None, None, None]
+    words = jnp.sum(c << sh, axis=(1, 3), dtype=jnp.uint32)
+    return words.astype(jnp.int32).reshape(n // 2, kp // 4)
+
+
+def unpack_int4_pair(packed: jax.Array, k: int, shards: int = 1
+                     ) -> jax.Array:
+    """Inverse of :func:`pack_int4_pair`; returns uint8 codes ``[n, k]``."""
+    if shards > 1:
+        nh, kw = packed.shape
+        per = kw // shards
+        parts = [unpack_int4_pair(packed[:, s * per:(s + 1) * per],
+                                  k // shards)
+                 for s in range(shards)]
+        return jnp.concatenate(parts, axis=1)
+    nh, kw = packed.shape
+    kp = kw * 4
+    words = packed.reshape(nh, 1, kp // 512, 1, 128).astype(jnp.uint32)
+    sh = (4 * jnp.arange(4, dtype=jnp.uint32))[None, None, None, :, None] \
+        + (16 * jnp.arange(2, dtype=jnp.uint32))[None, :, None, None, None]
+    c = (words >> sh) & 0xF                        # [n/2, 2, kb, 4, 128]
+    return c.reshape(nh * 2, kp)[:, :k].astype(jnp.uint8)
+
+
 def pack_int8(q: jax.Array, shards: int = 1) -> jax.Array:
     """int8 weights need no nibble packing on TPU (int8 is a native tile
     dtype); this just zero-pads k to the kernel block size (row-major

@@ -125,6 +125,48 @@ def _q4_kernel(x_ref, w_ref, s_ref, z_ref, lut_ref, o_ref, acc_ref, *,
         o_ref[:] = acc_ref[:].astype(o_ref.dtype)
 
 
+def _q4pair_kernel(x_ref, w_ref, s_ref, z_ref, o_ref, acc_ref, *,
+                   bn: int, nk: int, kbs: int):
+    """Magic-number pair-packed int4 (fmt="int4p", packing.pack_int4_pair):
+    per 128-wide plane, ``(w >> 4p) & 0x000F000F | 0x43004300`` bitcast to
+    bf16 yields ``128 + code`` for TWO rows at once (no gather, no
+    per-element scale); each plane is one >=128-wide quant group, so its
+    dot's ``[m, bn]`` partial is scaled post-MXU:
+    ``y += P*s + sum(x_g)*(z - 136 s)`` -- the TPU analog of the
+    reference's fp16 magic-number int4 path (Dequantization.cuh:136-260),
+    exact vs the dequant reference (no bf16 rounding of scaled values).
+    """
+    kc = pl.program_id(1)
+
+    @pl.when(kc == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    xb = x_ref[:]                       # [mp, kbs*1024] bf16
+    w = w_ref[:]                        # [bn//2, kbs*256] int32
+    acc = acc_ref[:]
+    for b in range(2 * kbs):            # 512-k sub-blocks
+        wb = w[:, b * 128:(b + 1) * 128]
+        for p in range(4):
+            g = b * 4 + p               # 128-wide scale row index
+            t = (jax.lax.shift_right_logical(wb, 4 * p) & 0x000F000F) \
+                | 0x43004300
+            v = pltpu.bitcast(t, jnp.bfloat16)      # [bn, 128] = 128+c
+            xg = xb[:, g * 128:(g + 1) * 128]
+            part = jax.lax.dot_general(
+                xg, v, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)  # [mp, bn]
+            sg = s_ref[g:g + 1, :].astype(jnp.float32)   # [1, bn]
+            zg = z_ref[g:g + 1, :].astype(jnp.float32)
+            xs = jnp.sum(xg.astype(jnp.float32), axis=1, keepdims=True)
+            acc = acc + part * sg + xs * (zg - 136.0 * sg)
+    acc_ref[:] = acc
+
+    @pl.when(kc == nk - 1)
+    def _():
+        o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+
+
 def _int8_kernel(x_ref, w_ref, s_ref, z_ref, o_ref, acc_ref, *,
                  group_size: int, bn: int, nk: int, kbs: int):
     kc = pl.program_id(1)
@@ -197,7 +239,7 @@ def quantized_matmul_padded(
         # bn=1024 overflows the 16MB VMEM budget (measured on v5e)
         block_n = min(block_n, 512)
     mp, kp = x.shape
-    np_ = packed.shape[0]
+    np_ = packed.shape[0] * (2 if fmt == "int4p" else 1)
     assert kp % PACK_BLOCK == 0 and (mp <= 16 or mp % 16 == 0)
     assert np_ % block_n == 0
     nkb = kp // PACK_BLOCK
@@ -218,18 +260,28 @@ def quantized_matmul_padded(
         f"group_size {group_size} < 16 unsupported by the fused-table kernel"
     rows = kbs * PACK_BLOCK // g_eff  # scale rows per grid step
 
+    wspec = pl.BlockSpec((block_n // 2, kbs * PACK_BLOCK // 4),
+                         lambda i, kc: (i, kc),
+                         memory_space=pltpu.VMEM) if fmt == "int4p" else \
+        pl.BlockSpec((block_n, kbs * kw), lambda i, kc: (i, kc),
+                     memory_space=pltpu.VMEM)
     in_specs = [
         pl.BlockSpec((mp, kbs * PACK_BLOCK), lambda i, kc: (0, kc),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((block_n, kbs * kw), lambda i, kc: (i, kc),
-                     memory_space=pltpu.VMEM),
+        wspec,
         pl.BlockSpec((rows, block_n), lambda i, kc: (kc, i),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((rows, block_n), lambda i, kc: (kc, i),
                      memory_space=pltpu.VMEM),
     ]
     args = [x, packed, sz, zz]
-    if fmt in ("any4", "lut4", "int4"):
+    if fmt == "int4p":
+        assert group_size % LANES == 0, \
+            "int4p needs group_size a multiple of 128 (plane-constant " \
+            "scales for the post-dot affine)"
+        assert block_n % 2 == 0
+        kern = functools.partial(_q4pair_kernel, bn=block_n, nk=nk, kbs=kbs)
+    elif fmt in ("any4", "lut4", "int4"):
         if fmt == "any4":
             in_specs.append(pl.BlockSpec((block_n, 16), lambda i, kc: (i, 0),
                                          memory_space=pltpu.VMEM))
@@ -302,15 +354,17 @@ def quantized_matmul(
     orig_shape = x.shape
     x2 = x.reshape(-1, orig_shape[-1]).astype(jnp.bfloat16)
     m, k = x2.shape
-    np_full = packed.shape[0]
+    rows_per_word = 2 if fmt == "int4p" else 1
+    word_k = 4 if fmt == "int4p" else (PLANES if fmt != "int8" else 1)
+    np_full = packed.shape[0] * rows_per_word
     n = np_full if n is None else n
-    kp = packed.shape[1] * (PLANES if fmt != "int8" else 1)
+    kp = packed.shape[1] * word_k
 
     # a sharded (row-parallel) weight may carry a partial PACK_BLOCK of k;
     # zero-pad back to alignment (codes 0 + scales 0 reconstruct to 0.0)
     kpa = _round_up(kp, PACK_BLOCK)
     if kpa != kp:
-        wordpad = (kpa - kp) // (PLANES if fmt != "int8" else 1)
+        wordpad = (kpa - kp) // word_k
         packed = jnp.pad(packed, ((0, 0), (0, wordpad)))
         ge = min(group_size, kpa)
         rows_target = kpa // ge
@@ -332,7 +386,7 @@ def quantized_matmul(
         x2 = jnp.pad(x2, ((0, mp - m), (0, 0)))
     if npad != np_full:
         pad_n = npad - np_full
-        packed = jnp.pad(packed, ((0, pad_n), (0, 0)))
+        packed = jnp.pad(packed, ((0, pad_n // rows_per_word), (0, 0)))
         scales_t = jnp.pad(scales_t, ((0, 0), (0, pad_n)))
         zeros_t = jnp.pad(zeros_t, ((0, 0), (0, pad_n)))
         if lut is not None and lut.shape[0] == np_full:

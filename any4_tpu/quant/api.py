@@ -168,6 +168,7 @@ def model_size_bytes(params: Dict) -> int:
 
 quant_methods = {
     "int4": functools.partial(quantize_model, fmt="int4"),
+    "int4p": functools.partial(quantize_model, fmt="int4p"),
     "int8": functools.partial(quantize_model, fmt="int8"),
     "intq": functools.partial(quantize_model, fmt="intq"),
     "any4": functools.partial(quantize_model, fmt="any4"),

@@ -21,7 +21,8 @@ import jax.numpy as jnp
 import numpy as np
 
 REFERENCE_ANY4_SPEEDUP = 2.29  # A5000, K=4096 (reference README.md:455)
-REFERENCE_SPEEDUPS = {"any4": 2.29, "int4": 3.26, "nf4": 2.23}
+REFERENCE_SPEEDUPS = {"any4": 2.29, "int4": 3.26, "nf4": 2.23,
+                      "int4p": 3.26}
 
 
 def window(f, args, iters):
@@ -58,7 +59,7 @@ def main():
     wb = w.astype(jnp.bfloat16)
 
     fns = {"bf16": (jax.jit(lambda a, b: a @ b.T), (x, wb))}
-    for fmt in ("any4", "int4", "nf4"):
+    for fmt in ("any4", "int4", "int4p", "nf4"):
         kw = dict(kmeans_iters=8) if fmt == "any4" else {}
         qt = lin.quantize_tensor(w, fmt, group_size=128, **kw)
         kfmt = lin._kernel_fmt(qt.fmt, qt.lut)
@@ -72,7 +73,7 @@ def main():
     print(f"bf16 best: {t_b * 1e6:.1f} us "
           f"({2 * N * K / t_b / 1e9:.0f} GB/s eff)", file=sys.stderr)
     speedups = {}
-    for fmt in ("any4", "int4", "nf4"):
+    for fmt in ("any4", "int4", "int4p", "nf4"):
         speedups[fmt] = t_b / best[fmt]
         ref = REFERENCE_SPEEDUPS[fmt]
         print(f"{fmt} best: {best[fmt] * 1e6:.1f} us, "

@@ -198,6 +198,68 @@ class TestAny4LutIsUsed:
                       np.asarray(ya)[0], tol=1e-2)
 
 
+class TestInt4Pair:
+    """Pair-packed magic-number int4 (fmt='int4p'): same numbers as int4,
+    gather-free kernel (PERF_NOTES magic2 design)."""
+
+    def test_pack_roundtrip(self):
+        codes = jax.random.randint(jax.random.PRNGKey(60), (32, 1536),
+                                   0, 16).astype(jnp.uint8)
+        packed = packing.pack_int4_pair(codes)
+        assert packed.shape == (16, 2048 // 4)
+        out = packing.unpack_int4_pair(packed, 1536)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(codes))
+
+    def test_pack_roundtrip_sharded(self):
+        codes = jax.random.randint(jax.random.PRNGKey(61), (8, 1024),
+                                   0, 16).astype(jnp.uint8)
+        packed = packing.pack_int4_pair(codes, shards=2)
+        out = packing.unpack_int4_pair(packed, 1024, shards=2)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(codes))
+
+    def test_dequant_matches_int4(self):
+        w = jax.random.normal(jax.random.PRNGKey(62), (64, 2048))
+        qa = lin.quantize_tensor(w, "int4", group_size=128)
+        qb = lin.quantize_tensor(w, "int4p", group_size=128)
+        np.testing.assert_array_equal(
+            np.asarray(lin.dequantize_tensor(qa, dtype=jnp.float32)),
+            np.asarray(lin.dequantize_tensor(qb, dtype=jnp.float32)))
+
+    @pytest.mark.parametrize("g", [128, 256])
+    def test_fused_matches_dequant(self, g):
+        n, k = 256, 2048
+        w = jax.random.normal(jax.random.PRNGKey(63), (n, k))
+        qt = lin.quantize_tensor(w, "int4p", group_size=g)
+        x = jax.random.normal(jax.random.PRNGKey(64), (2, k))
+        y = _mm(x, qt)
+        _assert_close(y, _ref(x, qt))
+
+    def test_identity_near_exact(self):
+        """int4p applies scales to f32 partial dots AFTER the MXU, so the
+        128*sum(x)*s term cancels in f32 with ~1e-5 relative residue --
+        identity is exact to 1 bf16 ulp, not bit-exact like the
+        fused-table kernel (whose dequant rounds to bf16 pre-dot). This is
+        the documented accuracy/speed trade of the pair-packed path."""
+        k = 1024
+        w = jnp.eye(k, dtype=jnp.float32)
+        qt = lin.quantize_tensor(w, "int4p", group_size=128)
+        x = jax.random.normal(jax.random.PRNGKey(65), (4, k),
+                              jnp.float32).astype(jnp.bfloat16)
+        y = _mm(x, qt, out_dtype=jnp.bfloat16)
+        np.testing.assert_allclose(
+            np.asarray(y.astype(jnp.float32)),
+            np.asarray(x.astype(jnp.float32)), rtol=4e-3, atol=1e-5)
+
+    def test_n_k_padding(self):
+        n, k = 130, 1408
+        w = jax.random.normal(jax.random.PRNGKey(66), (n, k))
+        qt = lin.quantize_tensor(w, "int4p", group_size=128)
+        x = jax.random.normal(jax.random.PRNGKey(67), (1, k))
+        y = lin.linear(x, qt, interpret=INTERPRET)
+        assert y.shape == (1, n)
+        _assert_close(np.asarray(y, np.float32), _ref(x, qt)[:, :n])
+
+
 class TestMx4Nan:
     """MX4 e8m0 NaN semantics (reference test_tinygemm_mx4.py:450
     test_nan + quantize_mx4 NaN exponent storage, utils.py:137-191)."""
