@@ -63,7 +63,9 @@ def init_params(cfg: MixtralConfig, key: jax.Array) -> Dict:
     return params
 
 
-def moe_ffn(layer: Dict, cfg: MixtralConfig, x: jax.Array, **kw) -> jax.Array:
+def moe_ffn(layer: Dict, cfg: MixtralConfig, x: jax.Array,
+            capture: Optional[dict] = None, prefix: str = "",
+            **kw) -> jax.Array:
     """Top-k routed expert FFN (HF semantics: softmax over the top-k router
     logits)."""
     b, t, d = x.shape
@@ -72,11 +74,15 @@ def moe_ffn(layer: Dict, cfg: MixtralConfig, x: jax.Array, **kw) -> jax.Array:
                                cfg.num_experts_per_tok)
     gate = jax.nn.softmax(topv, axis=-1)                   # [b, t, k]
 
+    if capture is not None:  # shared w1/w3 input (AWQ calibration)
+        llama._capture(capture, f"{prefix}moe", x)
     out = jnp.zeros_like(x, dtype=jnp.float32)
     for e, expert in enumerate(layer["experts"]):
         g = lin.linear(x, expert["w1"], **kw)
         u = lin.linear(x, expert["w3"], **kw)
         h = jax.nn.silu(g.astype(jnp.float32)).astype(x.dtype) * u
+        if capture is not None:
+            llama._capture(capture, f"{prefix}experts.{e}.w2", h)
         ye = lin.linear(h, expert["w2"], **kw).astype(jnp.float32)
         weight = jnp.sum(jnp.where(topi == e, gate, 0.0), axis=-1)  # [b, t]
         out = out + ye * weight[..., None]
@@ -108,7 +114,8 @@ def forward(params: Dict, cfg: MixtralConfig, input_ids: jax.Array,
         x = x + attn_out
         h = llama.rms_norm(x, layer["post_attention_layernorm"],
                            cfg.rms_norm_eps)
-        x = x + moe_ffn(layer, cfg, h, **kw)
+        x = x + moe_ffn(layer, cfg, h, capture=capture,
+                        prefix=f"layers.{i}.", **kw)
         new_caches.append(nc)
 
     x = llama.rms_norm(x, params["norm"], cfg.rms_norm_eps)

@@ -44,6 +44,37 @@ def _group_output(x: jax.Array, ws: List[jax.Array]) -> jax.Array:
     return jnp.concatenate([x @ w.T.astype(x.dtype) for w in ws], axis=-1)
 
 
+import functools
+
+
+def _candidate_scale(x_max: jax.Array, ratio) -> jax.Array:
+    s = jnp.power(x_max, ratio)
+    s = s / jnp.sqrt(s.max() * s.min())
+    return jnp.clip(s, 1e-4, 1e4)
+
+
+@functools.partial(jax.jit, static_argnames=("n_grid", "n_bit",
+                                             "group_size"))
+def _scale_search_mses(x, weights, x_max, n_grid, n_bit, group_size):
+    """One compiled program evaluates the WHOLE ratio grid with lax.scan
+    (the reference loops candidates in Python with a device sync each,
+    auto_scale.py:109-156 -- per-candidate dispatch would dominate at
+    model scale on TPU)."""
+    y_ref = _group_output(x, [w.astype(jnp.float32) for w in weights])
+
+    def body(_, ratio):
+        s = _candidate_scale(x_max, ratio)
+        ws_q = [pseudo_quantize(w.astype(jnp.float32) * s[None, :],
+                                n_bit, group_size) / s[None, :]
+                for w in weights]
+        y = _group_output(x, ws_q)
+        return None, jnp.mean((y - y_ref) ** 2)
+
+    ratios = jnp.arange(n_grid, dtype=jnp.float32) / n_grid
+    _, mses = jax.lax.scan(body, None, ratios)
+    return mses
+
+
 def search_scale(x: jax.Array, weights: List[jax.Array], n_grid: int = 20,
                  n_bit: int = 4, group_size: int = 128
                  ) -> Tuple[jax.Array, float]:
@@ -51,47 +82,52 @@ def search_scale(x: jax.Array, weights: List[jax.Array], n_grid: int = 20,
     share the input ``x`` [t, k]. Returns (scales [k], best_ratio).
 
     Candidate scales are ``x_max^ratio`` normalized to unit geometric mean
-    (reference auto_scale.py:109-156).
+    (reference auto_scale.py:109-156). The grid runs as one jitted scan;
+    only the winning ratio syncs to the host.
     """
     x = x.astype(jnp.float32)
     x_max = jnp.mean(jnp.abs(x), axis=tuple(range(x.ndim - 1))) + 1e-8
-    y_ref = _group_output(x, [w.astype(jnp.float32) for w in weights])
-    best = (jnp.ones_like(x_max), float("inf"), 0.0)
-    for i in range(n_grid):
-        ratio = i / n_grid
-        s = jnp.power(x_max, ratio)
-        s = s / jnp.sqrt(s.max() * s.min())
-        s = jnp.clip(s, 1e-4, 1e4)
-        ws_q = [pseudo_quantize(w.astype(jnp.float32) * s[None, :],
-                                n_bit, group_size) / s[None, :]
-                for w in weights]
-        y = _group_output(x, ws_q)
-        mse = float(jnp.mean((y - y_ref) ** 2))
-        if mse < best[1]:
-            best = (s, mse, ratio)
-    return best[0], best[2]
+    mses = _scale_search_mses(x, tuple(weights), x_max, n_grid, n_bit,
+                              group_size)
+    best_i = int(jnp.argmin(mses))
+    ratio = best_i / n_grid
+    return _candidate_scale(x_max, ratio), ratio
+
+
+@functools.partial(jax.jit, static_argnames=("n_grid", "min_ratio",
+                                             "n_bit", "group_size"))
+def _clip_search_mses(x, w32, n_grid, min_ratio, n_bit, group_size):
+    y_ref = x @ w32.T
+    absmax = jnp.abs(w32).max(axis=1, keepdims=True)
+
+    def body(_, ratio):
+        clipped = jnp.clip(w32, -absmax * ratio, absmax * ratio)
+        wq = pseudo_quantize(clipped, n_bit, group_size)
+        return None, jnp.mean((x @ wq.T - y_ref) ** 2)
+
+    idx = jnp.arange(n_grid, dtype=jnp.float32)
+    ratios = 1.0 - (1.0 - min_ratio) * idx / n_grid
+    _, mses = jax.lax.scan(body, None, ratios)
+    return mses
 
 
 def search_clip(x: jax.Array, w: jax.Array, n_grid: int = 20,
                 min_ratio: float = 0.5, n_bit: int = 4,
-                group_size: int = 128) -> jax.Array:
+                group_size: int = 128,
+                return_ratio: bool = False):
     """Grid-search per-row max-magnitude clipping minimizing output MSE
-    (reference auto_clip.py:11-66). Returns clipped weight."""
+    (reference auto_clip.py:11-66), as one jitted scan. Returns the
+    clipped weight (and the winning ratio when ``return_ratio``)."""
     x = x.astype(jnp.float32)
     w32 = w.astype(jnp.float32)
-    y_ref = x @ w32.T
+    mses = _clip_search_mses(x, w32, n_grid, min_ratio, n_bit, group_size)
+    best_i = int(jnp.argmin(mses))
+    ratio = 1.0 - (1.0 - min_ratio) * best_i / n_grid
     absmax = jnp.abs(w32).max(axis=1, keepdims=True)
-    best_w = w32
-    best_mse = float("inf")
-    for i in range(n_grid):
-        ratio = 1.0 - (1.0 - min_ratio) * i / n_grid
-        clipped = jnp.clip(w32, -absmax * ratio, absmax * ratio)
-        wq = pseudo_quantize(clipped, n_bit, group_size)
-        mse = float(jnp.mean((x @ wq.T - y_ref) ** 2))
-        if mse < best_mse:
-            best_mse = mse
-            best_w = clipped
-    return best_w.astype(w.dtype)
+    clipped = jnp.clip(w32, -absmax * ratio, absmax * ratio).astype(w.dtype)
+    if return_ratio:
+        return clipped, ratio
+    return clipped
 
 
 def run_awq(params: Dict, cfg, input_ids: jax.Array, n_bit: int = 4,
@@ -106,7 +142,7 @@ def run_awq(params: Dict, cfg, input_ids: jax.Array, n_bit: int = 4,
     Returns ``(awq_results, new_params)`` where awq_results records scales
     and clip ratios per layer (the reference's ``--dump_awq`` artifact).
     """
-    from ..models import llama, opt as opt_mod
+    from ..models import llama, mixtral as mx_mod, opt as opt_mod
 
     # capture each linear's input activations: rerun forward with a raw
     # store (memory-heavy for big models; calibration inputs are small)
@@ -119,7 +155,9 @@ def run_awq(params: Dict, cfg, input_ids: jax.Array, n_bit: int = 4,
             np.asarray(x.reshape(-1, x.shape[-1]), np.float32))
 
     is_opt = "fc1" in params["layers"][0]
-    fwd = opt_mod.forward if is_opt else llama.forward
+    is_moe = "experts" in params["layers"][0]
+    fwd = opt_mod.forward if is_opt else \
+        (mx_mod.forward if is_moe else llama.forward)
     llama._capture = capture_raw
     try:
         fwd(params, cfg, input_ids, capture={})
@@ -138,25 +176,49 @@ def run_awq(params: Dict, cfg, input_ids: jax.Array, n_bit: int = 4,
             # OPT schema (reference pre_quant.py opt adapter)
             groups = [
                 ("self_attn_layer_norm", ("q_proj", "k_proj", "v_proj"),
-                 act("q_proj")),
-                ("v_proj", ("out_proj",), act("out_proj")),
-                ("final_layer_norm", ("fc1",), act("fc1")),
-                ("fc1", ("fc2",), act("fc2")),
+                 "q_proj"),
+                ("v_proj", ("out_proj",), "out_proj"),
+                ("final_layer_norm", ("fc1",), "fc1"),
+                ("fc1", ("fc2",), "fc2"),
             ]
             clip_targets = ("out_proj", "fc1", "fc2", "v_proj")
+        elif is_moe:
+            # Mixtral schema (reference auto_scale.py mixtral branch):
+            # attention like llama; post-attn norm scales EVERY expert's
+            # w1/w3 (shared input); per-expert w3 -> w2
+            n_exp = len(layer["experts"])
+            # the router consumes the same normed input as every expert's
+            # w1/w3: it must join the scale group or the norm fold would
+            # perturb routing (no reference analog -- the reference has no
+            # MoE AWQ; this schema keeps the fold exactly output-neutral)
+            w13 = tuple(f"experts.{e}.{w}" for e in range(n_exp)
+                        for w in ("w1", "w3")) + ("router",)
+            groups = [
+                ("input_layernorm", ("q_proj", "k_proj", "v_proj"),
+                 "q_proj"),
+                ("v_proj", ("o_proj",), "o_proj"),
+                ("post_attention_layernorm", w13, "moe"),
+            ] + [
+                (f"experts.{e}.w3", (f"experts.{e}.w2",),
+                 f"experts.{e}.w2") for e in range(n_exp)
+            ]
+            clip_targets = ("o_proj", "v_proj") + tuple(
+                f"experts.{e}.{w}" for e in range(n_exp)
+                for w in ("w1", "w3", "w2"))
         else:
             groups = [
                 ("input_layernorm", ("q_proj", "k_proj", "v_proj"),
-                 act("q_proj")),
-                ("v_proj", ("o_proj",), act("o_proj")),
+                 "q_proj"),
+                ("v_proj", ("o_proj",), "o_proj"),
                 ("post_attention_layernorm", ("gate_proj", "up_proj"),
-                 act("gate_proj")),
-                ("up_proj", ("down_proj",), act("down_proj")),
+                 "gate_proj"),
+                ("up_proj", ("down_proj",), "down_proj"),
             ]
             clip_targets = ("o_proj", "gate_proj", "up_proj", "down_proj",
                             "v_proj")
-        for prev, targets, x in groups:
-            s, ratio = search_scale(x, [layer[t] for t in targets],
+        for prev, targets, act_name in groups:
+            x = act(act_name)
+            s, ratio = search_scale(x, [_lget(layer, t) for t in targets],
                                     n_grid=n_grid, n_bit=n_bit,
                                     group_size=group_size)
             s_prev = s
@@ -172,34 +234,61 @@ def run_awq(params: Dict, cfg, input_ids: jax.Array, n_bit: int = 4,
                                           hd)), axis=1))
                     s = jnp.repeat(s_kv, rep, axis=0).reshape(-1)
                     s_prev = s_kv.reshape(-1)
-            # scale target weights up; fold 1/s into the producer
-            for t in targets:
-                layer[t] = (layer[t].astype(jnp.float32)
-                            * s[None, :]).astype(layer[t].dtype)
-            if prev.endswith(("layernorm", "layer_norm")):
-                layer[prev] = _fold_norm(layer[prev], s_prev)
-            else:  # fold into the producing linear's output rows
-                layer[prev] = (layer[prev].astype(jnp.float32)
-                               / s_prev[:, None]).astype(layer[prev].dtype)
-                bkey = prev.replace("_proj", "_bias") \
-                    if prev.endswith("_proj") else prev + "_bias"
-                if bkey in layer:  # bias scales with its rows (OPT fc1)
-                    layer[bkey] = (layer[bkey].astype(jnp.float32)
-                                   / s_prev).astype(layer[bkey].dtype)
+            _apply_scale_group(layer, prev, targets, s, s_prev)
             results["scales"][f"layers.{i}.{prev}"] = {
                 "ratio": ratio, "scales": np.asarray(s),
-                "scales_prev": np.asarray(s_prev)}
+                "scales_prev": np.asarray(s_prev),
+                "targets": list(targets)}
             if progress:
                 print(f"  awq layer {i} {prev}->{targets}: ratio {ratio:.2f}")
 
         if do_clip:
             # clip non-qk weights (reference skips q/k, auto_clip usage)
             for nm in clip_targets:
-                x = act(nm)
-                layer[nm] = search_clip(x[:min(len(x), 512)], layer[nm],
-                                        n_grid=max(4, n_grid // 4),
-                                        n_bit=n_bit, group_size=group_size)
+                x = act("moe" if (is_moe and nm.endswith(("w1", "w3")))
+                        else nm)
+                clipped, cratio = search_clip(
+                    x[:min(len(x), 512)], _lget(layer, nm),
+                    n_grid=max(4, n_grid // 4), n_bit=n_bit,
+                    group_size=group_size, return_ratio=True)
+                _lset(layer, nm, clipped)
+                results["clip"][f"layers.{i}.{nm}"] = cratio
     return results, out
+
+
+def _lget(layer: Dict, path: str):
+    node = layer
+    for p in path.split("."):
+        node = node[int(p) if p.isdigit() else p]
+    return node
+
+
+def _lset(layer: Dict, path: str, value):
+    parts = path.split(".")
+    node = layer
+    for p in parts[:-1]:
+        node = node[int(p) if p.isdigit() else p]
+    last = parts[-1]
+    node[int(last) if last.isdigit() else last] = value
+
+
+def _apply_scale_group(layer: Dict, prev: str, targets, s, s_prev):
+    """Scale target weights up by s; fold 1/s_prev into the producer."""
+    for t in targets:
+        w = _lget(layer, t)
+        _lset(layer, t,
+              (w.astype(jnp.float32) * s[None, :]).astype(w.dtype))
+    if prev.endswith(("layernorm", "layer_norm")):
+        layer[prev] = _fold_norm(layer[prev], s_prev)
+    else:  # fold into the producing linear's output rows
+        w = _lget(layer, prev)
+        _lset(layer, prev,
+              (w.astype(jnp.float32) / s_prev[:, None]).astype(w.dtype))
+        bkey = prev.replace("_proj", "_bias") \
+            if prev.endswith("_proj") else prev + "_bias"
+        if "." not in prev and bkey in layer:  # bias scales with its rows
+            layer[bkey] = (layer[bkey].astype(jnp.float32)
+                           / s_prev).astype(layer[bkey].dtype)
 
 
 def _fold_norm(norm, s):
@@ -214,44 +303,82 @@ def _fold_norm(norm, s):
     return (norm.astype(jnp.float32) / s).astype(norm.dtype)
 
 
-def apply_awq(params: Dict, awq_results: Dict) -> Dict:
-    """Re-apply previously-searched AWQ scales to a fresh model (the
-    reference's ``--load_awq`` path, pre_process/pre_quant.py:44-55)."""
+_DEFAULT_GROUPS = {
+    "input_layernorm": ("q_proj", "k_proj", "v_proj"),
+    "v_proj": ("o_proj",),
+    "post_attention_layernorm": ("gate_proj", "up_proj"),
+    "up_proj": ("down_proj",),
+    # OPT schema
+    "self_attn_layer_norm": ("q_proj", "k_proj", "v_proj"),
+    "final_layer_norm": ("fc1",),
+    "fc1": ("fc2",),
+}
+
+
+def apply_awq(params: Dict, awq_results: Dict,
+              do_clip: bool = True) -> Dict:
+    """Re-apply previously-searched AWQ scales (and clip ratios) to a
+    fresh model (the reference's ``--load_awq`` path,
+    pre_process/pre_quant.py:44-55)."""
     from .api import _copy_tree
     out = _copy_tree(params)
-    groups = {
-        "input_layernorm": ("q_proj", "k_proj", "v_proj"),
-        "v_proj": ("o_proj",),
-        "post_attention_layernorm": ("gate_proj", "up_proj"),
-        "up_proj": ("down_proj",),
-        # OPT schema
-        "self_attn_layer_norm": ("q_proj", "k_proj", "v_proj"),
-        "final_layer_norm": ("fc1",),
-        "fc1": ("fc2",),
-    }
-    if "fc1" in out["layers"][0]:
-        groups = dict(groups)
-        groups["v_proj"] = ("out_proj",)
     for key, info in awq_results.get("scales", {}).items():
         parts = key.split(".")
         layer = out["layers"][int(parts[1])]
-        prev = parts[2]
+        prev = ".".join(parts[2:])
         s = jnp.asarray(info["scales"])
         s_prev = jnp.asarray(info.get("scales_prev", info["scales"]))
-        for t in groups[prev]:
-            layer[t] = (layer[t].astype(jnp.float32)
-                        * s[None, :]).astype(layer[t].dtype)
-        if prev.endswith(("layernorm", "layer_norm")):
-            layer[prev] = _fold_norm(layer[prev], s_prev)
-        else:
-            layer[prev] = (layer[prev].astype(jnp.float32)
-                           / s_prev[:, None]).astype(layer[prev].dtype)
-            bkey = prev.replace("_proj", "_bias") \
-                if prev.endswith("_proj") else prev + "_bias"
-            if bkey in layer:
-                layer[bkey] = (layer[bkey].astype(jnp.float32)
-                               / s_prev).astype(layer[bkey].dtype)
+        targets = info.get("targets")
+        if targets is None:
+            groups = dict(_DEFAULT_GROUPS)
+            if "fc1" in out["layers"][0]:
+                groups["v_proj"] = ("out_proj",)
+            targets = groups[prev]
+        _apply_scale_group(layer, prev, targets, s, s_prev)
+    if do_clip:
+        for key, ratio in awq_results.get("clip", {}).items():
+            parts = key.split(".")
+            layer = out["layers"][int(parts[1])]
+            path = ".".join(parts[2:])
+            w = _lget(layer, path).astype(jnp.float32)
+            absmax = jnp.abs(w).max(axis=1, keepdims=True)
+            _lset(layer, path,
+                  jnp.clip(w, -absmax * float(ratio),
+                           absmax * float(ratio)).astype(w.dtype))
     return out
+
+
+def save_awq(path: str, awq_results: Dict):
+    """Persist an AWQ search artifact (the reference's ``--dump_awq``,
+    pre_process/pre_quant.py:34-42)."""
+    flat = {}
+    for key, info in awq_results.get("scales", {}).items():
+        flat[f"s::{key}::scales"] = np.asarray(info["scales"])
+        flat[f"s::{key}::scales_prev"] = np.asarray(info["scales_prev"])
+        flat[f"s::{key}::ratio"] = np.float32(info["ratio"])
+        flat[f"s::{key}::targets"] = np.asarray(info["targets"])
+    for key, ratio in awq_results.get("clip", {}).items():
+        flat[f"c::{key}"] = np.float32(ratio)
+    np.savez(path, **flat)
+
+
+def load_awq(path: str) -> Dict:
+    """Inverse of :func:`save_awq`."""
+    raw = np.load(path, allow_pickle=False)
+    results: Dict = {"scales": {}, "clip": {}}
+    for name in raw.files:
+        if name.startswith("s::"):
+            _, key, field = name.split("::")
+            entry = results["scales"].setdefault(key, {})
+            if field == "ratio":
+                entry["ratio"] = float(raw[name])
+            elif field == "targets":
+                entry["targets"] = [str(t) for t in raw[name]]
+            else:
+                entry[field] = raw[name]
+        elif name.startswith("c::"):
+            results["clip"][name[3:]] = float(raw[name])
+    return results
 
 
 pre_quant_methods = {"awq": run_awq}

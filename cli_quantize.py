@@ -26,6 +26,12 @@ def main(argv=None):
     p.add_argument("--scale-sample-weight", action="store_true")
     p.add_argument("--awq", action="store_true",
                    help="run AWQ scale search before quantizing")
+    p.add_argument("--dump-awq", default=None,
+                   help="save the AWQ search artifact (.npz) for reuse "
+                        "(reference --dump_awq)")
+    p.add_argument("--load-awq", default=None,
+                   help="apply a saved AWQ artifact instead of searching "
+                        "(reference --load_awq)")
     p.add_argument("--row-parallel-shards", type=int, default=1,
                    help="pack k as N shards for row-parallel TP")
     p.add_argument("--output", required=True)
@@ -59,11 +65,19 @@ def main(argv=None):
         ids = jax.random.randint(jax.random.PRNGKey(1), (1, 128), 0,
                                  cfg.vocab_size)
 
-    if args.awq:
+    if args.load_awq:
         t0 = time.time()
-        _, params = awq.run_awq(params, cfg, ids,
-                                group_size=args.group_size, progress=True)
+        params = awq.apply_awq(params, awq.load_awq(args.load_awq))
+        print(f"awq artifact applied in {time.time() - t0:.1f}s")
+    elif args.awq:
+        t0 = time.time()
+        awq_results, params = awq.run_awq(params, cfg, ids,
+                                          group_size=args.group_size,
+                                          progress=True)
         print(f"awq done in {time.time() - t0:.1f}s")
+        if args.dump_awq:
+            awq.save_awq(args.dump_awq, awq_results)
+            print(f"awq artifact saved to {args.dump_awq}")
 
     sample_weight = None
     if args.calibrate and args.fmt == "any4":

@@ -78,6 +78,47 @@ class TestAwqModel:
             rtol=1e-5, atol=1e-6)
 
 
+    def test_run_awq_mixtral_schema(self):
+        """MoE schema: per-expert w1/w3 scale group off the post-attention
+        norm and per-expert w3->w2 folds (reference mixtral adapter)."""
+        from any4_tpu.models import mixtral
+        cfg = mixtral.MixtralConfig.tiny(vocab=128, layers=1)
+        params = mixtral.init_params(cfg, jax.random.PRNGKey(0))
+        ids = jax.random.randint(jax.random.PRNGKey(1), (1, 12), 0,
+                                 cfg.vocab_size)
+        base, _ = mixtral.forward(params, cfg, ids)
+        results, scaled = awq.run_awq(params, cfg, ids, group_size=32,
+                                      n_grid=4, do_clip=False)
+        out, _ = mixtral.forward(scaled, cfg, ids)
+        np.testing.assert_allclose(np.asarray(out, np.float32),
+                                   np.asarray(base, np.float32),
+                                   atol=5e-2, rtol=5e-2)
+        # 3 shared groups + one w3->w2 group per expert
+        assert len(results["scales"]) == 3 + cfg.num_local_experts
+        assert "layers.0.experts.0.w3" in results["scales"]
+
+    def test_artifact_roundtrip(self, tmp_path):
+        """save_awq/load_awq (the reference --dump_awq/--load_awq): the
+        reloaded artifact must reproduce the searched model, including
+        clip ratios."""
+        cfg = llama.LlamaConfig.tiny(vocab=128, layers=1)
+        params = llama.init_params(cfg, jax.random.PRNGKey(0))
+        ids = jax.random.randint(jax.random.PRNGKey(1), (1, 16), 0,
+                                 cfg.vocab_size)
+        results, scaled = awq.run_awq(params, cfg, ids, group_size=32,
+                                      n_grid=4, do_clip=True)
+        assert results["clip"]  # clip ratios recorded
+        path = str(tmp_path / "awq.npz")
+        awq.save_awq(path, results)
+        loaded = awq.load_awq(path)
+        replayed = awq.apply_awq(params, loaded)
+        for nm in ("q_proj", "o_proj", "down_proj"):
+            np.testing.assert_allclose(
+                np.asarray(replayed["layers"][0][nm], np.float32),
+                np.asarray(scaled["layers"][0][nm], np.float32),
+                rtol=1e-5, atol=1e-6)
+
+
 class TestNnq:
     def test_learn_improves_w_mse(self):
         w = jax.random.normal(jax.random.PRNGKey(0), (8, 256))
