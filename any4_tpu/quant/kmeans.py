@@ -9,9 +9,10 @@ rows to bound memory. One jit-compiled call clusters an entire ``[n, k]``
 weight matrix.
 
 Supported inits (reference kmeans.py:19-67): ``k-means++`` (weighted, the
-default), ``random``, ``int`` (per-row linspace), ``nf4`` (nf4 table rescaled
-to the row's range). Sample-weight spec strings (``outlier_*``, ``gradual_*``)
-follow reference kmeans.py:70-133.
+default), ``random`` / ``manual_random``, ``int`` (per-row linspace),
+``pow`` (per-row geomspace) and ``nf4`` (nf4 table rescaled to the row's
+range). Sample-weight spec strings (``outlier_*``, ``gradual_*``) follow
+reference kmeans.py:70-133.
 """
 from __future__ import annotations
 
@@ -43,6 +44,17 @@ def _init_nf4(x: jax.Array, n_clusters: int) -> jax.Array:
     hi = x.max(axis=1, keepdims=True)
     t = (jnp.asarray(NF4_TABLE) + 1.0) / 2.0  # [0, 1]
     return lo + (hi - lo) * t[None, :]
+
+
+def _init_pow(x: jax.Array, n_clusters: int) -> jax.Array:
+    """Geometric (log-spaced) spacing from row min to row max (reference
+    kmeans.py "pow": base^linspace(1, log_base(max)) with base=min, which
+    reduces to geomspace(min, max)). Requires positive values; the anyq
+    domain is [0, 2^n-1], so the min clamps at a small epsilon."""
+    lo = jnp.maximum(x.min(axis=1, keepdims=True), 1e-6)
+    hi = jnp.maximum(x.max(axis=1, keepdims=True), lo * (1 + 1e-6))
+    t = jnp.linspace(0.0, 1.0, n_clusters)[None, :]
+    return jnp.exp(jnp.log(lo) + (jnp.log(hi) - jnp.log(lo)) * t)
 
 
 def _init_random(x: jax.Array, n_clusters: int, key: jax.Array) -> jax.Array:
@@ -125,10 +137,15 @@ def _kmeans_impl(x, weights, x_surrogate, key, n_clusters, iters, init,
         xc, wc, sc, kc = args
         if init == "k-means++":
             cents = _init_kmeanspp(xc, wc, n_clusters, kc)
-        elif init == "random":
+        elif init in ("random", "manual_random"):
+            # the reference's manual_random is a no-replacement sample
+            # with numpy's global seed (kmeans.py:33-36); with explicit
+            # keys it coincides with "random"
             cents = _init_random(xc, n_clusters, kc)
         elif init == "int":
             cents = _init_int(xc, n_clusters)
+        elif init == "pow":
+            cents = _init_pow(xc, n_clusters)
         elif init == "nf4":
             cents = _init_nf4(xc, n_clusters)
         else:
@@ -179,7 +196,7 @@ def kmeans_rows(x: jax.Array, n_clusters: int = 16,
     surrogate = x if x_surrogate is None else jnp.asarray(x_surrogate,
                                                           jnp.float32)
 
-    if n_init > 1 and init in ("k-means++", "random"):
+    if n_init > 1 and init in ("k-means++", "random", "manual_random"):
         best = None
         for t in range(n_init):
             # t=0 uses the raw key so n_init>1 strictly supersets n_init=1

@@ -30,7 +30,8 @@ class TestKmeansRows:
         d_all = np.abs(np.asarray(x)[:, :, None] - c[:, None, :]).min(2)
         np.testing.assert_allclose(d_direct, d_all, atol=1e-6)
 
-    @pytest.mark.parametrize("init", ["int", "nf4", "random", "k-means++"])
+    @pytest.mark.parametrize("init", ["int", "nf4", "random", "k-means++",
+                                      "pow", "manual_random"])
     def test_inits_converge(self, init):
         x = jax.random.normal(jax.random.PRNGKey(1), (4, 512))
         cents, assign = kmeans.kmeans_rows(x, 16, init=init, iters=25)
