@@ -75,44 +75,37 @@ def _q4_kernel(x_ref, w_ref, s_ref, z_ref, lut_ref, o_ref, acc_ref, *,
 
     w = w_ref[:]  # [bn, kbs*128] int32
     planes = []
-    if False:
-        # NOTE (measured, kept for the record): an arithmetic int4 branch
-        # ((codes-8)*s+z with static lane-slice scalar broadcasts) profiled
-        # 5x faster than the gather in the pool's THROTTLED state, but in
-        # the full-clock state the f32 elementwise chain (23us at 4096^2)
-        # loses to the fused-table gather (13.6us) -- DVFS appears to slow
-        # the gather unit disproportionately. The gather path is the right
-        # choice at production clocks.
-        pass
-    else:
-        # all 4-bit formats gather from a fused per-group dequant table
-        # (int4 uses the uniform ramp as its codebook)
-        lut = lut_ref[:].astype(jnp.float32)
-        if fmt != "any4":
-            lut = jnp.broadcast_to(lut, (bn, 16))
-        lut_t = jnp.concatenate([lut] * (LANES // 16), axis=1)   # [bn, 128]
-        tiles = LANES // R if R < LANES else 1
-        st_t, zt_t = st, zt
-        if tiles > 1:
-            st_t = jnp.concatenate([st] * tiles, axis=1)         # [bn, 128]
-            zt_t = jnp.concatenate([zt] * tiles, axis=1)
-        lane = jax.lax.broadcasted_iota(jnp.int32, (bn, LANES), 1)
-        for t in range(n_tables):
-            # fused dequant table for groups [t*8, t*8+8):
-            # table[r, 16*g + c] = lut[r, c] * s[r, g] + z[r, g]
-            gidx = (t * 8 + lane // 16) % max(R, 1)
-            sg = jnp.take_along_axis(st_t, gidx, axis=1)
-            zg = jnp.take_along_axis(zt_t, gidx, axis=1)
-            table = lut_t * sg + zg                               # f32
-            for p in range(ppt):
-                j = t * ppt + p      # global plane index in this chunk
-                b, jj = divmod(j, PLANES)
-                codes = jax.lax.shift_right_logical(
-                    w[:, b * LANES:(b + 1) * LANES], 4 * jj) & 0xF
-                idx = codes + 16 * (p * gpp + lane // g_eff)
-                planes.append(
-                    jnp.take_along_axis(table, idx, axis=1)
-                    .astype(jnp.bfloat16))
+    # all 4-bit formats gather from a fused per-group dequant table (int4
+    # uses the uniform ramp as its codebook). An arithmetic int4 branch
+    # ((codes-8)*s+z with static lane-slice broadcasts) measured FASTER
+    # only in the pool's DVFS-throttled state and loses at full clock --
+    # see PERF_NOTES.md "Addendum"; the gather is the production choice.
+    lut = lut_ref[:].astype(jnp.float32)
+    if fmt != "any4":
+        lut = jnp.broadcast_to(lut, (bn, 16))
+    lut_t = jnp.concatenate([lut] * (LANES // 16), axis=1)   # [bn, 128]
+    tiles = LANES // R if R < LANES else 1
+    st_t, zt_t = st, zt
+    if tiles > 1:
+        st_t = jnp.concatenate([st] * tiles, axis=1)         # [bn, 128]
+        zt_t = jnp.concatenate([zt] * tiles, axis=1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (bn, LANES), 1)
+    for t in range(n_tables):
+        # fused dequant table for groups [t*8, t*8+8):
+        # table[r, 16*g + c] = lut[r, c] * s[r, g] + z[r, g]
+        gidx = (t * 8 + lane // 16) % max(R, 1)
+        sg = jnp.take_along_axis(st_t, gidx, axis=1)
+        zg = jnp.take_along_axis(zt_t, gidx, axis=1)
+        table = lut_t * sg + zg                               # f32
+        for p in range(ppt):
+            j = t * ppt + p      # global plane index in this chunk
+            b, jj = divmod(j, PLANES)
+            codes = jax.lax.shift_right_logical(
+                w[:, b * LANES:(b + 1) * LANES], 4 * jj) & 0xF
+            idx = codes + 16 * (p * gpp + lane // g_eff)
+            planes.append(
+                jnp.take_along_axis(table, idx, axis=1)
+                .astype(jnp.bfloat16))
     wfull = jnp.concatenate(planes, axis=1)  # [bn, kbs*1024] bf16
 
     part = jax.lax.dot_general(

@@ -66,7 +66,7 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--size", default="1b", choices=sorted(SIZES))
     p.add_argument("--fmt", default="int4",
-                   choices=["int4", "int8", "any4", "nf4"])
+                   choices=["int4", "int4p", "int8", "any4", "nf4"])
     p.add_argument("--batch", type=int, default=1)
     p.add_argument("--prompt-len", type=int, default=128)
     p.add_argument("--new-tokens", type=int, default=32)
@@ -116,7 +116,7 @@ def main():
     runners[args.fmt] = prep_decode(qp, cfg, args.batch, args.prompt_len,
                                     args.new_tokens)
     best = {k: float("inf") for k in runners}
-    for r in range(5):
+    for r in range(int(__import__("os").environ.get("BDEC_ROUNDS", 5))):
         for k, run in runners.items():
             best[k] = min(best[k], run())
         print(f"round {r}: " + ", ".join(
