@@ -30,14 +30,32 @@ def main(argv=None):
             for task, entry in data.items():
                 result = entry.get("result") if isinstance(entry, dict) \
                     else entry
-                rows.append({"log_dir": dirpath, "task": task,
-                             "result": result})
+                if isinstance(result, dict):
+                    # structured results (lm-eval / code tasks): one row
+                    # per scalar metric subfield, like the reference's
+                    # "acc,none" / "pass@1" extraction (process_logs.py)
+                    for metric, value in _flatten(result):
+                        rows.append({"log_dir": dirpath, "task": task,
+                                     "metric": metric, "result": value})
+                else:
+                    rows.append({"log_dir": dirpath, "task": task,
+                                 "metric": "", "result": result})
     if rows:
         with open(args.output, "w", newline="") as f:
-            w = csv.DictWriter(f, fieldnames=["log_dir", "task", "result"])
+            w = csv.DictWriter(f, fieldnames=["log_dir", "task", "metric",
+                                              "result"])
             w.writeheader()
             w.writerows(rows)
     print(f"wrote {len(rows)} rows to {args.output}")
+
+
+def _flatten(d, prefix=""):
+    for k, v in d.items():
+        name = f"{prefix}{k}"
+        if isinstance(v, dict):
+            yield from _flatten(v, name + ".")
+        elif isinstance(v, (int, float, str, bool)):
+            yield name, v
 
 
 if __name__ == "__main__":
