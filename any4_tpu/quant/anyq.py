@@ -52,6 +52,7 @@ def any4_quantize(
     cluster_backend: str = "kmeans",
     kmeans_iters: int = 30,
     n_init: int = 1,
+    row_chunk: int = 64,
     seed: int = 0,
     nnq: bool = False,
     nnq_args: Optional[dict] = None,
@@ -122,7 +123,7 @@ def any4_quantize(
         lut, assign = _kmeans.kmeans_rows(
             x, n_clusters=2**n_bit, sample_weight=sw, x_surrogate=surrogate,
             init=init, iters=kmeans_iters, key=jax.random.PRNGKey(seed),
-            n_init=n_init)
+            n_init=n_init, row_chunk=row_chunk)
 
     if keep_outliers:
         hi = x.max(axis=1, keepdims=True)

@@ -135,8 +135,22 @@ def quantize_model(
         f = "any4" if fmt == "anyq" else ("int4" if fmt == "intq" else fmt)
         shards = row_parallel_shards \
             if name.split(".")[-1] in ROW_PARALLEL_KEYS else 1
-        qt = lin.quantize_tensor(leaf, f, group_size, row_shards=shards,
-                                 **kw)
+        try:
+            qt = lin.quantize_tensor(leaf, f, group_size, row_shards=shards,
+                                     **kw)
+        except Exception as e:  # device OOM during clustering: the analog
+            # of the reference's CUDA-OOM -> CPU re-cluster retry
+            # (quantize.py:851-861); the vectorized k-means retries with a
+            # much smaller row chunk (bounds peak [rows, k, 16] distance
+            # memory), everything else unchanged
+            if "RESOURCE_EXHAUSTED" not in str(e) \
+                    and "Out of memory" not in str(e):
+                raise
+            if progress:
+                print(f"  OOM quantizing {name}; retrying with "
+                      f"row_chunk=8")
+            qt = lin.quantize_tensor(leaf, f, group_size, row_shards=shards,
+                                     **{**kw, "row_chunk": 8})
         if progress:
             print(f"  quantized {name} {leaf.shape} -> {fmt}")
         if pseudo:

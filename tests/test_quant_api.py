@@ -127,3 +127,30 @@ class TestCalibrationIntegration:
                                 calibrate_fn=fn, kmeans_iters=3,
                                 scale_sample_weight=True)
         assert isinstance(qp["layers"][0]["q_proj"], lin.QuantizedTensor)
+
+
+class TestOomRetry:
+    def test_oom_retries_with_smaller_row_chunk(self, monkeypatch):
+        """Device OOM during clustering retries with row_chunk=8 (the
+        reference's CUDA-OOM -> CPU re-cluster analog, quantize.py:851)."""
+        import jax
+        from any4_tpu.models import llama
+        from any4_tpu.ops import linear as lin
+        from any4_tpu.quant import api
+
+        cfg = llama.LlamaConfig.tiny(vocab=64, layers=1)
+        params = llama.init_params(cfg, jax.random.PRNGKey(0))
+        calls = {"n": 0}
+        real = lin.quantize_tensor
+
+        def flaky(w, fmt="any4", group_size=128, row_shards=1, **kw):
+            calls["n"] += 1
+            if calls["n"] == 1 and "row_chunk" not in kw:
+                raise RuntimeError("RESOURCE_EXHAUSTED: Out of memory")
+            return real(w, fmt, group_size, row_shards=row_shards, **kw)
+
+        monkeypatch.setattr(lin, "quantize_tensor", flaky)
+        qp = api.quantize_model(params, fmt="any4", group_size=32,
+                                kmeans_iters=2)
+        assert isinstance(qp["layers"][0]["q_proj"], lin.QuantizedTensor)
+        assert calls["n"] >= 2  # first call failed, retry succeeded
