@@ -150,6 +150,36 @@ def quantize_tensor(w: jax.Array, fmt: str = "any4", group_size: int = 128,
         q, scales, zeros = quant.int8_quantize(w, group_size)
         packed = packing.pack_int8(q, row_shards)
         lut = None
+    elif fmt == "int8p":
+        # split-byte magic-number int8: each byte u = 16*hi + lo becomes
+        # two group-interleaved nibble planes with scales (s, 16*s), so
+        # the gather-free pair-packed kernel computes the int8 dot as two
+        # magic dots per group -- same numbers as fmt="int8", same bytes
+        assert group_size % 128 == 0, \
+            "int8p requires group_size a multiple of 128"
+        assert row_shards == 1, "int8p does not support row_shards yet"
+        assert k % 128 == 0, "int8p requires k a multiple of 128"
+        q, scales, zeros = quant.int8_quantize(w, group_size)
+        u = (q.astype(jnp.int32) + 128).astype(jnp.uint8)
+        G = k // 128
+        u = u.reshape(n, G, 128)
+        c4 = jnp.stack([u & 0xF, u >> 4], axis=2)      # [n, G, 2, 128]
+        packed = packing.pack_int4_pair(c4.reshape(n, 2 * k))
+        # per-128-lane plane rows on the doubled axis: (lo: s, z-120s),
+        # (hi: 16s, 128s) -- derived so the kernel's per-plane affine
+        # P*sg + sum(x_g)*(zg - 136*sg) sums to (u-128)*s + z exactly
+        s128 = jnp.repeat(scales, group_size // 128, axis=1)  # [n, G]
+        z128 = jnp.repeat(zeros, group_size // 128, axis=1)
+        # constants are per-chunk-uniform so they sum over a group's chunks
+        # as coef*sum(x_g); solve z_lo + z_hi - 136 s = z - 128 s
+        z_lo = z128 - 120.0 * s128
+        z_hi = 128.0 * s128
+        s4 = jnp.stack([s128, 16.0 * s128], axis=2).reshape(n, 2 * G)
+        z4 = jnp.stack([z_lo, z_hi], axis=2).reshape(n, 2 * G)
+        s4, z4 = packing.pad_group_arrays(s4, z4, 2 * k, 128)
+        return QuantizedTensor(packed, s4.T.astype(jnp.float32),
+                               z4.T.astype(jnp.float32), None, fmt,
+                               group_size, (n, k), w.dtype, 1)
     else:
         raise ValueError(f"unsupported fmt {fmt!r}")
     scales, zeros = packing.pad_group_arrays(scales, zeros, k, group_size,
@@ -191,8 +221,21 @@ def dequantize_tensor(qt: QuantizedTensor, dtype=None) -> jax.Array:
     n, k = qt.shape
     dtype = dtype or qt.dtype
     kp = qt.packed.shape[1] * (8 if qt.fmt in _NIBBLE_FMTS else
-                               4 if qt.fmt == "int4p" else 1)
+                               4 if qt.fmt in ("int4p", "int8p") else 1)
     g = qt.group_size
+    if qt.fmt == "int8p":
+        # split-byte layout: de-interleave nibble planes, reassemble bytes
+        # and recover the original (s, z) from the plane-transformed rows
+        c4 = packing.unpack_int4_pair(qt.packed, kp).astype(jnp.int32)
+        Gp = kp // 256
+        c4 = c4.reshape(n, Gp, 2, 128)
+        u = c4[:, :, 0] + 16 * c4[:, :, 1]            # [n, Gp, 128]
+        q = (u - 128).astype(jnp.float32).reshape(n, Gp * 128)
+        s128 = qt.scales[0::2].T                      # [n, Gp] (s rows)
+        z128 = qt.zeros[0::2].T + 120.0 * s128        # z_lo = z - 120 s
+        w = q * jnp.repeat(s128, 128, axis=1) \
+            + jnp.repeat(z128, 128, axis=1)
+        return w[:, :k].astype(dtype)
     if qt.fmt == "int8":
         q = qt.packed.astype(jnp.float32)
     else:
@@ -215,6 +258,10 @@ def dequantize_tensor(qt: QuantizedTensor, dtype=None) -> jax.Array:
 def _kernel_fmt(fmt: str, lut: Optional[jax.Array] = None) -> str:
     if fmt in ("nf4", "fp4", "mx4"):
         return "lut4"
+    if fmt == "int8p":
+        # split-byte int8 runs on the pair-packed magic kernel with
+        # plane-transformed scales (quantize_tensor folds them)
+        return "int4p"
     if fmt == "any4" and lut is not None and lut.shape[0] == 1:
         # global-LUT any4 (reference `Any4_Global_Grouped`,
         # TinyGemm_int4.cu:622-746, selected by `int4Dequant.dim()`): the
@@ -249,10 +296,20 @@ def linear(x: jax.Array, w, bias: Optional[jax.Array] = None, *,
             # n from the live array, not static metadata: inside shard_map
             # the leaves are local shards while .shape still describes the
             # full logical tensor
-            n_local = w.packed.shape[0] * (2 if w.fmt == "int4p" else 1)
+            gs = w.group_size
+            if w.fmt == "int8p":
+                # duplicate each 128-wide x group so both nibble planes of
+                # a byte contract against the same activations
+                k_log = w.shape[1]
+                lead = xq.shape[:-1]
+                xr = xq[..., :k_log].reshape(*lead, k_log // 128, 128)
+                xq = jnp.repeat(xr, 2, axis=-2).reshape(*lead, 2 * k_log)
+                gs = 128  # plane-granular scales on the doubled axis
+            n_local = w.packed.shape[0] * (
+                2 if w.fmt in ("int4p", "int8p") else 1)
             y = gemv.quantized_matmul(
                 xq, w.packed, w.scales, w.zeros, w.lut,
-                fmt=_kernel_fmt(w.fmt, w.lut), group_size=w.group_size,
+                fmt=_kernel_fmt(w.fmt, w.lut), group_size=gs,
                 n=n_local, block_n=block_n, out_dtype=x.dtype,
                 use_gather=use_gather, interpret=interpret, k_chunk=k_chunk)
         else:

@@ -184,6 +184,7 @@ quant_methods = {
     "int4": functools.partial(quantize_model, fmt="int4"),
     "int4p": functools.partial(quantize_model, fmt="int4p"),
     "int8": functools.partial(quantize_model, fmt="int8"),
+    "int8p": functools.partial(quantize_model, fmt="int8p"),
     "intq": functools.partial(quantize_model, fmt="intq"),
     "any4": functools.partial(quantize_model, fmt="any4"),
     "anyq": functools.partial(quantize_model, fmt="anyq"),

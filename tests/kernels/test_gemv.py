@@ -260,6 +260,37 @@ class TestInt4Pair:
         _assert_close(np.asarray(y, np.float32), _ref(x, qt)[:, :n])
 
 
+class TestInt8Pair:
+    """Split-byte magic-number int8 (fmt='int8p'): same numbers as int8,
+    two nibble planes with scales (s, 16s) on the pair-packed kernel."""
+
+    def test_dequant_matches_int8(self):
+        w = jax.random.normal(jax.random.PRNGKey(70), (32, 1024))
+        qa = lin.quantize_tensor(w, "int8", group_size=128)
+        qb = lin.quantize_tensor(w, "int8p", group_size=128)
+        np.testing.assert_allclose(
+            np.asarray(lin.dequantize_tensor(qa, dtype=jnp.float32)),
+            np.asarray(lin.dequantize_tensor(qb, dtype=jnp.float32)),
+            rtol=1e-5, atol=1e-6)
+
+    @pytest.mark.parametrize("g", [128, 256])
+    def test_fused_matches_dequant(self, g):
+        n, k = 128, 1024
+        w = jax.random.normal(jax.random.PRNGKey(71), (n, k))
+        qt = lin.quantize_tensor(w, "int8p", group_size=g)
+        x = jax.random.normal(jax.random.PRNGKey(72), (2, k))
+        y = lin.linear(x, qt, interpret=INTERPRET)
+        wd = lin.dequantize_tensor(qt, dtype=jnp.float32)
+        ref = np.asarray(x, np.float32) @ np.asarray(wd).T
+        _assert_close(np.asarray(y, np.float32), ref, tol=5e-3)
+
+    def test_same_bytes_as_int8(self):
+        w = jax.random.normal(jax.random.PRNGKey(73), (64, 2048))
+        qa = lin.quantize_tensor(w, "int8", group_size=128)
+        qb = lin.quantize_tensor(w, "int8p", group_size=128)
+        assert qb.packed.size * 4 == qa.packed.size  # int32 words vs int8
+
+
 class TestMx4Nan:
     """MX4 e8m0 NaN semantics (reference test_tinygemm_mx4.py:450
     test_nan + quantize_mx4 NaN exponent storage, utils.py:137-191)."""

@@ -32,7 +32,7 @@ def main():
     fns = {"bf16": (jax.jit(lambda a, b: a @ b.T), (x, wb)),
            "read_bf16": (jax.jit(
                lambda b: jnp.sum(b.astype(jnp.float32), axis=1)), (wb,))}
-    for fmt in ("int4", "int4p", "any4", "nf4"):
+    for fmt in ("int4", "int4p", "int8p", "any4", "nf4"):
         kw = dict(kmeans_iters=3) if fmt == "any4" else {}
         qt = lin.quantize_tensor(w, fmt, group_size=128, **kw)
         fns[fmt] = (jax.jit(lambda a, q=qt: lin.linear(a, q)), (x,))
