@@ -176,6 +176,40 @@ class TestPrefillTP:
                                    atol=5e-2, rtol=5e-2)
 
 
+class TestInt4PairTP:
+    def test_row_parallel_int4p_matmul(self):
+        """Pair-packed int4 under row-parallel sharding: per-shard padded
+        packing + psum of partial products matches the unsharded kernel."""
+        import jax.numpy as jnp
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from any4_tpu.ops import linear as lin
+
+        n, k, S = 128, 2560, 2  # k/S = 1280 pads to 2048 per shard
+        w = jax.random.normal(jax.random.PRNGKey(20), (n, k))
+        qt = lin.quantize_tensor(w, "int4p", group_size=128, row_shards=S)
+        x = jax.random.normal(jax.random.PRNGKey(21), (1, k))
+        y_ref = lin.linear(x, qt)
+
+        mesh = tp.make_mesh(dp=1, tp=S, devices=jax.devices()[:S])
+        qspec = tp._qt_spec("row", qt)
+        sharded = jax.tree_util.tree_map(
+            lambda leaf, spec: jax.device_put(
+                leaf, NamedSharding(mesh, spec)),
+            qt, qspec, is_leaf=lambda v: isinstance(v, P))
+
+        def local(xs, q):
+            return jax.lax.psum(lin.linear(xs, q), "tp")
+
+        fwd = jax.jit(jax.shard_map(
+            local, mesh=mesh,
+            in_specs=(P(None, "tp"), qspec), out_specs=P(None, None),
+            check_vma=False))
+        y = fwd(x, sharded)
+        np.testing.assert_allclose(np.asarray(y, np.float32),
+                                   np.asarray(y_ref, np.float32),
+                                   atol=2e-2, rtol=2e-2)
+
+
 class TestSpecs:
     def test_param_specs_structure(self, tiny):
         cfg, params = tiny
