@@ -22,7 +22,7 @@ import numpy as np
 
 REFERENCE_ANY4_SPEEDUP = 2.29  # A5000, K=4096 (reference README.md:455)
 REFERENCE_SPEEDUPS = {"any4": 2.29, "int4": 3.26, "nf4": 2.23,
-                      "int4p": 3.26}
+                      "int4p": 3.26, "int8p": 1.0}
 
 
 def window(f, args, iters):
@@ -34,18 +34,33 @@ def window(f, args, iters):
     return (time.perf_counter() - t0) / iters
 
 
-def best_of_alternating(fns, rounds=20, iters=20):
-    """fns: {name: (callable, args)}. Alternates windows; returns min time
-    per name."""
+def best_of_alternating(fns, rounds=20, iters=20, budget_s=600.0,
+                        fast_us=100.0):
+    """fns: {name: (callable, args)}. Alternates windows; returns (min
+    time per name, fast_regime_seen). The shared pool is bimodal
+    (PERF_NOTES): keeps sampling up to ``budget_s`` until several windows
+    land in the fast regime (bf16 < fast_us), since throttled-state
+    ratios carry no signal."""
     best = {k: float("inf") for k in fns}
-    # warmup/compile
     for k, (f, a) in fns.items():
         jax.block_until_ready(f(*a))
-    for _ in range(rounds):
+    t0 = time.time()
+    fast_rounds = 0
+    r = 0
+    while (r < rounds or fast_rounds == 0) and time.time() - t0 < budget_s \
+            and fast_rounds < 6:
+        rb = None
         for k, (f, a) in fns.items():
             t = window(f, a, iters)
             best[k] = min(best[k], t)
-    return best
+            if k == "bf16":
+                rb = t
+        if rb is not None and rb * 1e6 < fast_us:
+            fast_rounds += 1
+        elif rb is not None and rb > 500e-6:
+            time.sleep(5)
+        r += 1
+    return best, fast_rounds > 0
 
 
 def main():
@@ -59,7 +74,7 @@ def main():
     wb = w.astype(jnp.bfloat16)
 
     fns = {"bf16": (jax.jit(lambda a, b: a @ b.T), (x, wb))}
-    for fmt in ("any4", "int4", "int4p", "nf4"):
+    for fmt in ("any4", "int4", "int4p", "int8p", "nf4"):
         kw = dict(kmeans_iters=8) if fmt == "any4" else {}
         qt = lin.quantize_tensor(w, fmt, group_size=128, **kw)
         kfmt = lin._kernel_fmt(qt.fmt, qt.lut)
@@ -68,12 +83,17 @@ def main():
                                           group_size=128, n=N))
         fns[fmt] = (f, (x, qt.packed, qt.scales, qt.zeros, qt.lut))
 
-    best = best_of_alternating(fns)
+    best, fast_seen = best_of_alternating(fns)
     t_b = best["bf16"]
     print(f"bf16 best: {t_b * 1e6:.1f} us "
           f"({2 * N * K / t_b / 1e9:.0f} GB/s eff)", file=sys.stderr)
+    if not fast_seen:
+        print("WARNING: no fast-regime window observed (bf16 stayed "
+              f"{t_b*1e6:.0f} us); ratios reflect the throttled state -- "
+              "see benchmarks/profile_kernels_r2.json for device-time "
+              "ratios", file=sys.stderr)
     speedups = {}
-    for fmt in ("any4", "int4", "int4p", "nf4"):
+    for fmt in ("any4", "int4", "int4p", "int8p", "nf4"):
         speedups[fmt] = t_b / best[fmt]
         ref = REFERENCE_SPEEDUPS[fmt]
         print(f"{fmt} best: {best[fmt] * 1e6:.1f} us, "
@@ -88,6 +108,7 @@ def main():
         "vs_baseline": round(value / REFERENCE_ANY4_SPEEDUP, 3),
         "detail": {k: round(v, 3) for k, v in speedups.items()},
         "bf16_us": round(t_b * 1e6, 1),
+        "fast_regime_observed": fast_seen,
     }))
 
 
