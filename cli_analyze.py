@@ -20,7 +20,11 @@ def main(argv=None):
                    help=".npz from cli_calibrate.py for sample weights")
     p.add_argument("--no-plots", action="store_true",
                    help="skip writing plots.pdf")
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (the ambient environment may\n                        pin a single-client TPU relay)")
     args = p.parse_args(argv)
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
 
     from any4_tpu.evals import analyze, harness
     from any4_tpu.models import llama, loader

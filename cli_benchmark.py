@@ -51,7 +51,11 @@ def main(argv=None):
                    help="per-layer attention vs MLP timing breakdown "
                         "(the reference HookBasedProfiler equivalent)")
     p.add_argument("--profile-ctx", type=int, default=256)
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (the ambient environment may\n                        pin a single-client TPU relay)")
     args = p.parse_args(argv)
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
 
     from any4_tpu.models import llama, loader
     from any4_tpu.quant import api

@@ -24,7 +24,11 @@ def main(argv=None):
     p.add_argument("--num-samples", type=int, default=16)
     p.add_argument("--max-seq-len", type=int, default=2048)
     p.add_argument("--output", required=True, help=".npz output path")
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (the ambient environment may\n                        pin a single-client TPU relay)")
     args = p.parse_args(argv)
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
 
     from any4_tpu import calibrate as cal
     from any4_tpu.models import llama, loader

@@ -20,7 +20,11 @@ def main(argv=None):
     p.add_argument("--pseudo", action="store_true", default=True)
     p.add_argument("--log-dir", default="logs/diff")
     p.add_argument("--prompt-tokens", type=int, default=64)
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (the ambient environment may\n                        pin a single-client TPU relay)")
     args = p.parse_args(argv)
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
 
     from any4_tpu.evals import analyze, harness
     from any4_tpu.models import llama, loader

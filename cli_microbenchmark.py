@@ -37,7 +37,11 @@ def main(argv=None):
     p.add_argument("--sweep", action="store_true",
                    help="reproduce the reference's K sweep table "
                         "(README.md:440-455): K=1024..8192 speedups")
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (the ambient environment may\n                        pin a single-client TPU relay)")
     args = p.parse_args(argv)
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     if args.sweep:
         return sweep(args)
 

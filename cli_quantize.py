@@ -19,7 +19,8 @@ def main(argv=None):
     p.add_argument("--model-dir")
     p.add_argument("--tiny", action="store_true")
     p.add_argument("--fmt", default="any4",
-                   choices=["int4", "int8", "any4", "nf4", "fp4", "mx4"])
+                   choices=["int4", "int4p", "int8", "int8p", "any4", "nf4",
+                            "fp4", "mx4"])
     p.add_argument("--group-size", type=int, default=128)
     p.add_argument("--kmeans-iters", type=int, default=30)
     p.add_argument("--calibrate", action="store_true")
@@ -35,7 +36,11 @@ def main(argv=None):
     p.add_argument("--row-parallel-shards", type=int, default=1,
                    help="pack k as N shards for row-parallel TP")
     p.add_argument("--output", required=True)
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (the ambient environment may\n                        pin a single-client TPU relay)")
     args = p.parse_args(argv)
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
 
     from any4_tpu import calibrate as cal
     from any4_tpu import native
