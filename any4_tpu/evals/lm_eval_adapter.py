@@ -146,7 +146,10 @@ class JaxCausalLM:
             ncont.append(min(len(cont), len(toks) - 1))
         out = []
         for (lp, hit), n in zip(self._score_batch(token_lists), ncont):
-            out.append((float(lp[-n:].sum()), bool(hit[-n:].all())))
+            if n <= 0:  # empty continuation: lp[-0:] would be the WHOLE
+                out.append((0.0, True))  # sequence, not zero tokens
+            else:
+                out.append((float(lp[-n:].sum()), bool(hit[-n:].all())))
         return out
 
     def loglikelihood_rolling(self, requests) -> List[float]:
@@ -219,7 +222,12 @@ class JaxCausalLM:
             if isinstance(until, str):
                 until = [until]
             max_new = int(kwargs.get("max_gen_toks", 128))
-            ids = self._encode(context)[-(self.max_length - max_new):]
+            # keep at least one prompt bucket of context: a max_gen_toks
+            # >= max_length would otherwise flip the slice sign and take
+            # tokens from the FRONT (possibly an empty prompt)
+            max_new = min(max_new, self.max_length - self.MIN_BUCKET)
+            keep = max(self.max_length - max_new, self.MIN_BUCKET)
+            ids = self._encode(context)[-keep:]
             L = self._bucket(len(ids))
             pad = L - len(ids)
             max_len = L + max_new

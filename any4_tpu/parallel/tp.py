@@ -137,8 +137,18 @@ def _interleave_rows(leaf, sizes, tp: int):
         lut = leaf.lut
         if lut is not None and lut.shape[0] == leaf.shape[0]:
             lut = lut[order]
+        packed_order = order
+        if leaf.fmt in ("int4p", "int8p"):
+            # pair-packed words hold TWO output rows: the permutation must
+            # move word rows, which requires every chunk boundary even so
+            # row pairs stay together
+            assert (offs % 2 == 0).all() and \
+                all((sz // tp) % 2 == 0 for sz in sizes), \
+                "pair-packed fused reshard needs even per-shard chunks"
+            packed_order = order[0::2] // 2
         return dataclasses.replace(
-            leaf, packed=leaf.packed[order], scales=leaf.scales[:, order],
+            leaf, packed=leaf.packed[packed_order],
+            scales=leaf.scales[:, order],
             zeros=leaf.zeros[:, order], lut=lut)
     return leaf[order]
 

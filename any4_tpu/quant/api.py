@@ -142,9 +142,11 @@ def quantize_model(
             # of the reference's CUDA-OOM -> CPU re-cluster retry
             # (quantize.py:851-861); the vectorized k-means retries with a
             # much smaller row chunk (bounds peak [rows, k, 16] distance
-            # memory), everything else unchanged
-            if "RESOURCE_EXHAUSTED" not in str(e) \
-                    and "Out of memory" not in str(e):
+            # memory). Only the clustering formats have that knob --
+            # other formats re-raise rather than retrying identically.
+            if ("RESOURCE_EXHAUSTED" not in str(e)
+                    and "Out of memory" not in str(e)) \
+                    or f not in ("any4",):
                 raise
             if progress:
                 print(f"  OOM quantizing {name}; retrying with "

@@ -264,13 +264,18 @@ class Engine:
             if self.slots[i] is not None or not self.pending:
                 continue
             req = self.pending.pop(0)
+            if len(req.prompt) >= self.max_ctx:
+                # keep the most recent context (positions restart at 0 for
+                # the truncated prompt); without this an oversized prompt
+                # can never be admitted and blocks the queue head forever
+                req.prompt = req.prompt[-(self.max_ctx - 1):]
             t = len(req.prompt)
             if not self.alloc.ensure(i, t + 1, self.page_size):
                 self.pending.insert(0, req)
                 break
             L = self._bucket(t)
             padded = np.zeros(L, np.int32)
-            padded[:t] = req.prompt[-L:]
+            padded[:t] = req.prompt
             table_row = jnp.asarray(self.alloc.table[i])
             last_logits, new_k, new_v = self._prefill_fn(
                 self.params, self.cfg, jnp.asarray(padded[None]),

@@ -47,7 +47,7 @@ def best_of_alternating(fns, rounds=20, iters=20, budget_s=600.0,
     t0 = time.time()
     fast_rounds = 0
     r = 0
-    while (r < rounds or fast_rounds == 0) and time.time() - t0 < budget_s \
+    while (r < rounds or fast_rounds < 3) and time.time() - t0 < budget_s \
             and fast_rounds < 6:
         rb = None
         for k, (f, a) in fns.items():

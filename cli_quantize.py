@@ -55,7 +55,15 @@ def main(argv=None):
         params = llama.init_params(cfg, jax.random.PRNGKey(0))
         tokenizer = None
     else:
-        cfg, params = loader.load_llama(args.model_dir)
+        # host-side path: when the C++ data plane can quantize directly
+        # (int4, no forward passes needed before quantization), keep the
+        # checkpoint as numpy so quantize+pack skips the device round trip
+        host_side = (args.fmt == "int4" and native.available()
+                     and not args.awq and not args.calibrate
+                     and not args.load_awq)
+        cfg, params = loader.load_llama(args.model_dir, as_numpy=host_side)
+        if host_side:
+            print("loading host-side for native quantize+pack")
         tokenizer = None
         try:
             from transformers import AutoTokenizer

@@ -161,3 +161,16 @@ class TestCodeEval:
 def comb_frac():
     from math import comb
     return comb(2, 2) / comb(4, 2)
+
+
+class TestProtocolEdgeCases:
+    def test_empty_continuation_scores_zero(self, tiny_lm):
+        cfg, params, lm = tiny_lm
+        [(ll, greedy)] = lm.loglikelihood([("some context", "")])
+        assert ll == 0.0 and greedy is True
+
+    def test_max_gen_toks_exceeding_max_length(self, tiny_lm):
+        cfg, params, lm = tiny_lm
+        [out] = lm.generate_until([("hello", {"until": [],
+                                              "max_gen_toks": 100000})])
+        assert isinstance(out, str)

@@ -230,3 +230,27 @@ class TestSpecs:
         assert mesh.shape["dp"] == 2 and mesh.shape["tp"] == 4
         with pytest.raises(AssertionError):
             tp.make_mesh(dp=3, tp=4)
+
+
+class TestPairPackedReshard:
+    def test_interleave_rows_int4p(self):
+        """Fused pair-packed weights permute WORD rows (two logical rows
+        each); per-row indexing would scramble the codes silently."""
+        import jax.numpy as jnp
+        from any4_tpu.models import fuse
+        from any4_tpu.ops import linear as lin
+
+        k = 1024
+        wq = jax.random.normal(jax.random.PRNGKey(30), (64, k))
+        wk = jax.random.normal(jax.random.PRNGKey(31), (32, k))
+        parts = [lin.quantize_tensor(w, "int4p", group_size=128)
+                 for w in (wq, wk)]
+        fused = fuse.concat_quantized(parts)
+        out = tp._interleave_rows(fused, [64, 32], 2)
+        dense = jnp.concatenate(
+            [lin.dequantize_tensor(p, dtype=jnp.float32) for p in parts])
+        order = np.concatenate([np.arange(0, 32), np.arange(64, 80),
+                                np.arange(32, 64), np.arange(80, 96)])
+        np.testing.assert_allclose(
+            np.asarray(lin.dequantize_tensor(out, dtype=jnp.float32)),
+            np.asarray(dense)[order], rtol=1e-6, atol=1e-6)

@@ -254,3 +254,24 @@ class TestQuantizedKV:
         # the first steps
         assert len(got) == 4
         assert got[0] == expect[0]
+
+
+class TestOversizedPrompt:
+    def test_long_prompt_truncated_not_stuck(self, tiny):
+        """A prompt longer than max_ctx must be truncated and served, not
+        block the pending queue forever."""
+        cfg, params = tiny
+        e = eng.Engine(params, cfg, max_slots=1, max_ctx=32, page_size=8)
+        rng = np.random.RandomState(5)
+        long_prompt = rng.randint(0, cfg.vocab_size, 50).astype(np.int32)
+        short = rng.randint(0, cfg.vocab_size, 4).astype(np.int32)
+        e.submit(long_prompt, max_new_tokens=2)
+        e.submit(short, max_new_tokens=2)
+        done = e.run(max_steps=200)
+        assert len(done) == 2
+        # truncation keeps the most recent context: same tokens as
+        # submitting the tail directly
+        ref = eng.Engine(params, cfg, max_slots=1, max_ctx=32, page_size=8)
+        ref.submit(long_prompt[-31:], max_new_tokens=2)
+        np.testing.assert_array_equal(done[0].out_tokens,
+                                      ref.run()[0].out_tokens)
