@@ -136,8 +136,28 @@ def gather_ctx(pages, table: jax.Array) -> jax.Array:
     return g.transpose(1, 2, 0, 3)                  # [b, ctx, h, d]
 
 
+def _flash_decode_kernel_q(seq_ref, tbl_ref, q_ref, k_ref, ks_ref, v_ref,
+                           vs_ref, o_ref, m_ref, l_ref, acc_ref, *,
+                           ps: int, scale: float):
+    """Quantized-pool variant: int8 pages + per-token scales [.., ps]
+    dequantized in-kernel before the flash update."""
+    _flash_decode_step(
+        seq_ref, tbl_ref, q_ref,
+        k_ref[0, 0].astype(jnp.float32) * ks_ref[0, 0][:, None],
+        v_ref[0, 0].astype(jnp.float32) * vs_ref[0, 0][:, None],
+        o_ref, m_ref, l_ref, acc_ref, ps=ps, scale=scale)
+
+
 def _flash_decode_kernel(seq_ref, tbl_ref, q_ref, k_ref, v_ref, o_ref,
                          m_ref, l_ref, acc_ref, *, ps: int, scale: float):
+    _flash_decode_step(
+        seq_ref, tbl_ref, q_ref, k_ref[0, 0].astype(jnp.float32),
+        v_ref[0, 0].astype(jnp.float32), o_ref, m_ref, l_ref, acc_ref,
+        ps=ps, scale=scale)
+
+
+def _flash_decode_step(seq_ref, tbl_ref, q_ref, k, v, o_ref,
+                       m_ref, l_ref, acc_ref, *, ps: int, scale: float):
     """Flash decode attention over paged KV for ONE (batch, kv-head) pair,
     one physical page per grid step (page ids arrive via scalar prefetch).
 
@@ -155,8 +175,6 @@ def _flash_decode_kernel(seq_ref, tbl_ref, q_ref, k_ref, v_ref, o_ref,
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     q = q_ref[0, 0].astype(jnp.float32)          # [rep, hd]
-    k = k_ref[0, 0].astype(jnp.float32)          # [ps, hd]
-    v = v_ref[0, 0].astype(jnp.float32)
     s = jax.lax.dot_general(q * scale, k, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32)  # [rep, ps]
     pos = i * ps + jax.lax.broadcasted_iota(jnp.int32, (1, ps), 1)
@@ -188,39 +206,55 @@ def flash_paged_decode(q: jax.Array, k_pages: jax.Array, v_pages: jax.Array,
     each grid step DMAs exactly one physical page."""
     from jax.experimental.pallas import tpu as pltpu
 
+    quantized = isinstance(k_pages, tuple)
+    kp = k_pages[0] if quantized else k_pages
     b, nq, d = q.shape
-    h, P, ps, _ = k_pages.shape
+    h, P, ps, _ = kp.shape
     rep = nq // h
     pps = table.shape[1]
     qh = q.reshape(b, h, rep, d)
     scale = 1.0 / np.sqrt(d)
 
+    page_spec = pl.BlockSpec(
+        (1, 1, ps, d), lambda b_, h_, i, seq, tbl: (h_, tbl[b_, i], 0, 0))
+    sc_spec = pl.BlockSpec(
+        (1, 1, ps), lambda b_, h_, i, seq, tbl: (h_, tbl[b_, i], 0))
+    if quantized:
+        in_specs = [
+            pl.BlockSpec((1, 1, rep, d),
+                         lambda b_, h_, i, seq, tbl: (b_, h_, 0, 0)),
+            page_spec, sc_spec, page_spec, sc_spec,
+        ]
+        # scales arrive [h, P, ps, 1]: squeeze for a lane-tileable block
+        args = (qh, k_pages[0], k_pages[1].reshape(h, P, ps),
+                v_pages[0], v_pages[1].reshape(h, P, ps))
+        kern = functools.partial(_flash_decode_kernel_q, ps=ps, scale=scale)
+    else:
+        in_specs = [
+            pl.BlockSpec((1, 1, rep, d),
+                         lambda b_, h_, i, seq, tbl: (b_, h_, 0, 0)),
+            page_spec, page_spec,
+        ]
+        args = (qh, k_pages, v_pages)
+        kern = functools.partial(_flash_decode_kernel, ps=ps, scale=scale)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(b, h, pps),
-        in_specs=[
-            pl.BlockSpec((1, 1, rep, d),
-                         lambda b_, h_, i, seq, tbl: (b_, h_, 0, 0)),
-            pl.BlockSpec((1, 1, ps, d),
-                         lambda b_, h_, i, seq, tbl: (h_, tbl[b_, i], 0, 0)),
-            pl.BlockSpec((1, 1, ps, d),
-                         lambda b_, h_, i, seq, tbl: (h_, tbl[b_, i], 0, 0)),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, 1, rep, d),
                                lambda b_, h_, i, seq, tbl: (b_, h_, 0, 0)),
         scratch_shapes=[pltpu.VMEM((rep, 128), jnp.float32),
                         pltpu.VMEM((rep, 128), jnp.float32),
                         pltpu.VMEM((rep, d), jnp.float32)],
     )
-    kern = functools.partial(_flash_decode_kernel, ps=ps, scale=scale)
     out = pl.pallas_call(
         kern, grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, h, rep, d), q.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary")),
         interpret=interpret,
-    )(seq_lens.astype(jnp.int32), table.astype(jnp.int32), qh,
-      k_pages, v_pages)
+    )(seq_lens.astype(jnp.int32), table.astype(jnp.int32), *args)
     return out.reshape(b, nq, d)
 
 
@@ -239,10 +273,9 @@ def paged_attention(q: jax.Array, k_pages: jax.Array, v_pages: jax.Array,
     b, nq, d = q.shape
     quantized = isinstance(k_pages, tuple)
     h = (k_pages[0] if quantized else k_pages).shape[0]
-    if not quantized and d % 128 != 0:
-        # int8-quantized pools still take the dense fallback at hd%128!=0:
-        # the custom kernel would need per-page scale blocks with a 1-wide
-        # lane dim, which Mosaic does not tile
+    if d % 128 != 0:
+        # hd=64-class models: our flash kernel (quantized pools dequantize
+        # their int8 pages + per-token scales in-kernel)
         return flash_paged_decode(q, k_pages, v_pages, seq_lens, table,
                                   interpret=jax.default_backend() != "tpu")
     if jax.default_backend() == "tpu" and d % 128 == 0:

@@ -275,3 +275,45 @@ class TestOversizedPrompt:
         ref.submit(long_prompt[-31:], max_new_tokens=2)
         np.testing.assert_array_equal(done[0].out_tokens,
                                       ref.run()[0].out_tokens)
+
+
+class TestFlashPagedDecodeQuantized:
+    def test_quantized_pool_matches_dequantized_dense(self):
+        """int8 KV pages + per-token scales dequantize in-kernel and must
+        match the dense-gather reference over the dequantized pool."""
+        h, P, ps, hd = 2, 9, 8, 64
+        b, nq = 2, 4
+        rng = np.random.RandomState(1)
+        kq = jnp.asarray(rng.randint(-127, 128, (h, P, ps, hd)), jnp.int8)
+        vq = jnp.asarray(rng.randint(-127, 128, (h, P, ps, hd)), jnp.int8)
+        ks = jnp.asarray(rng.rand(h, P, ps, 1) * 0.02 + 0.001, jnp.float32)
+        vs = jnp.asarray(rng.rand(h, P, ps, 1) * 0.02 + 0.001, jnp.float32)
+        q = jnp.asarray(rng.randn(b, nq, hd), jnp.float32)
+        table = jnp.asarray([[1, 2, 3, 4], [5, 6, 7, 8]], jnp.int32)
+        lens = jnp.asarray([7, 25], jnp.int32)
+        out = kvc.flash_paged_decode(q, (kq, ks), (vq, vs), lens, table,
+                                     interpret=True)
+        kd = kq.astype(jnp.float32) * ks
+        vd = vq.astype(jnp.float32) * vs
+        ref = kvc.flash_paged_decode(q, kd, vd, lens, table, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-5)
+
+    def test_engine_quantized_kv_hd64_uses_flash(self):
+        """hd=64 + int8 KV: the flagship combination now runs the flash
+        kernel (previously dense fallback); engine outputs stay sane."""
+        cfg = llama.LlamaConfig(vocab_size=128, hidden_size=256,
+                                intermediate_size=256, num_hidden_layers=1,
+                                num_attention_heads=4,
+                                num_key_value_heads=2, head_dim=64,
+                                tie_word_embeddings=True)
+        params = llama.init_params(cfg, jax.random.PRNGKey(4))
+        ref = eng.Engine(params, cfg, max_slots=1, max_ctx=32, page_size=8)
+        ref.submit(np.asarray([1, 2, 3], np.int32), max_new_tokens=3)
+        expect = ref.run()[0].out_tokens
+        e = eng.Engine(params, cfg, max_slots=1, max_ctx=32, page_size=8,
+                       kv_quantize=True)
+        e.submit(np.asarray([1, 2, 3], np.int32), max_new_tokens=3)
+        got = e.run()[0].out_tokens
+        assert len(got) == 3
+        assert got[0] == expect[0]  # int8 KV perturbs logits only slightly
