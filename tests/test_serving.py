@@ -317,3 +317,16 @@ class TestFlashPagedDecodeQuantized:
         got = e.run()[0].out_tokens
         assert len(got) == 3
         assert got[0] == expect[0]  # int8 KV perturbs logits only slightly
+
+    @pytest.mark.skipif(len(jax.devices()) < 2, reason="needs 2+ devices")
+    def test_tp_engine_with_quantized_kv(self, tiny):
+        from any4_tpu.parallel import tp
+        cfg, params = tiny
+        mesh = tp.make_mesh(dp=1, tp=2, devices=jax.devices()[:2])
+        sharded, specs = tp.shard_params(params, mesh, cfg=cfg)
+        prompt = np.asarray([3, 1, 4, 1, 5], np.int32)
+        e = eng.Engine(sharded, cfg, max_slots=1, max_ctx=32, page_size=8,
+                       mesh=mesh, param_spec=specs, kv_quantize=True)
+        e.submit(prompt, max_new_tokens=3)
+        done = e.run(max_steps=50)
+        assert len(done) == 1 and len(done[0].out_tokens) == 3
