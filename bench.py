@@ -101,7 +101,7 @@ def main():
               file=sys.stderr)
 
     value = round(speedups["any4"], 3)
-    print(json.dumps({
+    out = {
         "metric": "any4_gemv_speedup_vs_bf16_K4096",
         "value": value,
         "unit": "x",
@@ -109,7 +109,23 @@ def main():
         "detail": {k: round(v, 3) for k, v in speedups.items()},
         "bf16_us": round(t_b * 1e6, 1),
         "fast_regime_observed": fast_seen,
-    }))
+    }
+    if not fast_seen:
+        # throttled wall ratios carry no signal; attach the device-time
+        # profiler ratios (regime-proof, tools/profile_kernels.py) so the
+        # artifact records the real kernel comparison
+        try:
+            with open("benchmarks/profile_kernels_r2.json") as f:
+                prof = json.load(f)
+            dev = {k: v["top_ops"][0]["median_us"]
+                   for k, v in prof.items() if v.get("top_ops")}
+            if "bf16" in dev:
+                out["device_time_speedups_same_dvfs_state"] = {
+                    k: round(dev["bf16"] / v, 2)
+                    for k, v in dev.items() if k != "bf16"}
+        except (OSError, json.JSONDecodeError, KeyError, IndexError):
+            pass
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
