@@ -139,12 +139,12 @@ def gather_ctx(pages, table: jax.Array) -> jax.Array:
 def _flash_decode_kernel_q(seq_ref, tbl_ref, q_ref, k_ref, ks_ref, v_ref,
                            vs_ref, o_ref, m_ref, l_ref, acc_ref, *,
                            ps: int, scale: float):
-    """Quantized-pool variant: int8 pages + per-token scales [.., ps]
+    """Quantized-pool variant: int8 pages + per-token scales [.., ps, 1]
     dequantized in-kernel before the flash update."""
     _flash_decode_step(
         seq_ref, tbl_ref, q_ref,
-        k_ref[0, 0].astype(jnp.float32) * ks_ref[0, 0][:, None],
-        v_ref[0, 0].astype(jnp.float32) * vs_ref[0, 0][:, None],
+        k_ref[0, 0].astype(jnp.float32) * ks_ref[0, 0],
+        v_ref[0, 0].astype(jnp.float32) * vs_ref[0, 0],
         o_ref, m_ref, l_ref, acc_ref, ps=ps, scale=scale)
 
 
@@ -164,9 +164,12 @@ def _flash_decode_step(seq_ref, tbl_ref, q_ref, k, v, o_ref,
     head_dim sits on the CONTRACTION axis of the two small dots, so any
     head_dim works (the upstream pallas paged_attention kernel tiles
     head_dim on lanes and requires head_dim % 128 == 0 -- which excludes
-    hd=64 models like Llama-3.2-1B)."""
+    hd=64 models like Llama-3.2-1B). Scratch buffers are (8,128)-tile
+    padded (Mosaic requires it); padded rows/lanes carry zeros and are
+    sliced away at the output write."""
     b_, i = pl.program_id(0), pl.program_id(2)
     npages = pl.num_programs(2)
+    R8, DP = acc_ref.shape                       # padded rows / lanes
 
     @pl.when(i == 0)
     def _():
@@ -175,27 +178,33 @@ def _flash_decode_step(seq_ref, tbl_ref, q_ref, k, v, o_ref,
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     q = q_ref[0, 0].astype(jnp.float32)          # [rep, hd]
+    rep, d = q.shape
+    if rep < R8:
+        q = jnp.pad(q, ((0, R8 - rep), (0, 0)))
     s = jax.lax.dot_general(q * scale, k, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32)  # [rep, ps]
+                            preferred_element_type=jnp.float32)  # [R8, ps]
     pos = i * ps + jax.lax.broadcasted_iota(jnp.int32, (1, ps), 1)
     s = jnp.where(pos < seq_ref[b_], s, -1e30)
 
-    m_prev = m_ref[:, 0:1]                       # [rep, 1]
+    m_prev = m_ref[:, 0:1]                       # [R8, 1]
     l_prev = l_ref[:, 0:1]
     m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
-    p = jnp.exp(s - m_new)                       # [rep, ps]
-    alpha = jnp.exp(m_prev - m_new)              # [rep, 1]
+    p = jnp.exp(s - m_new)                       # [R8, ps]
+    alpha = jnp.exp(m_prev - m_new)              # [R8, 1]
     l_new = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
-    acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
+    pv = jax.lax.dot_general(
         p, v, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)      # [rep, hd]
+        preferred_element_type=jnp.float32)      # [R8, hd]
+    if d < DP:
+        pv = jnp.pad(pv, ((0, 0), (0, DP - d)))
+    acc_ref[:] = acc_ref[:] * alpha + pv
     m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
     l_ref[:] = jnp.broadcast_to(l_new, l_ref.shape)
 
     @pl.when(i == npages - 1)
     def _():
-        o_ref[0, 0] = (acc_ref[:] /
-                       jnp.maximum(l_ref[:, 0:1], 1e-30)).astype(o_ref.dtype)
+        o_ref[0, 0] = (acc_ref[:] / jnp.maximum(l_ref[:, 0:1], 1e-30)
+                       )[:rep, :d].astype(o_ref.dtype)
 
 
 def flash_paged_decode(q: jax.Array, k_pages: jax.Array, v_pages: jax.Array,
@@ -214,20 +223,24 @@ def flash_paged_decode(q: jax.Array, k_pages: jax.Array, v_pages: jax.Array,
     pps = table.shape[1]
     qh = q.reshape(b, h, rep, d)
     scale = 1.0 / np.sqrt(d)
+    rp8 = -(-rep // 8) * 8          # Mosaic scratch tiling: (8, 128)
+    dp = -(-d // 128) * 128
 
     page_spec = pl.BlockSpec(
         (1, 1, ps, d), lambda b_, h_, i, seq, tbl: (h_, tbl[b_, i], 0, 0))
+    # scales keep their [h, P, ps, 1] shape: block (1,1,ps,1) satisfies
+    # Mosaic's tiling rule (ps % 8 == 0, trailing dim equals the array's)
     sc_spec = pl.BlockSpec(
-        (1, 1, ps), lambda b_, h_, i, seq, tbl: (h_, tbl[b_, i], 0))
+        (1, 1, ps, 1), lambda b_, h_, i, seq, tbl: (h_, tbl[b_, i], 0, 0))
     if quantized:
+        assert ps % 8 == 0, \
+            "quantized paged flash needs page_size % 8 == 0"
         in_specs = [
             pl.BlockSpec((1, 1, rep, d),
                          lambda b_, h_, i, seq, tbl: (b_, h_, 0, 0)),
             page_spec, sc_spec, page_spec, sc_spec,
         ]
-        # scales arrive [h, P, ps, 1]: squeeze for a lane-tileable block
-        args = (qh, k_pages[0], k_pages[1].reshape(h, P, ps),
-                v_pages[0], v_pages[1].reshape(h, P, ps))
+        args = (qh, k_pages[0], k_pages[1], v_pages[0], v_pages[1])
         kern = functools.partial(_flash_decode_kernel_q, ps=ps, scale=scale)
     else:
         in_specs = [
@@ -244,9 +257,9 @@ def flash_paged_decode(q: jax.Array, k_pages: jax.Array, v_pages: jax.Array,
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, 1, rep, d),
                                lambda b_, h_, i, seq, tbl: (b_, h_, 0, 0)),
-        scratch_shapes=[pltpu.VMEM((rep, 128), jnp.float32),
-                        pltpu.VMEM((rep, 128), jnp.float32),
-                        pltpu.VMEM((rep, d), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((rp8, 128), jnp.float32),
+                        pltpu.VMEM((rp8, 128), jnp.float32),
+                        pltpu.VMEM((rp8, dp), jnp.float32)],
     )
     out = pl.pallas_call(
         kern, grid_spec=grid_spec,

@@ -84,8 +84,10 @@ def flash_case(hd, quantized):
                          < lens[:, None, None], 0.0, -1e9)
         pr = jax.nn.softmax(lg + mask, -1)
         ref = jnp.einsum("bhs,bshd->bhd", pr, vx)
+        # the MXU computes f32 dots at bf16 pass precision by default
+        # (~0.4% relative); production q/KV are bf16 anyway
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
-                                   atol=2e-4)
+                                   atol=8e-3)
     return run
 
 
