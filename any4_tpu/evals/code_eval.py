@@ -79,6 +79,13 @@ def execute_candidate(program: str, timeout: float = 10.0) -> Dict:
 
     The candidate is model-generated code: it runs in a separate process
     with a hard timeout and an empty environment, never in-process."""
+    def _limits():
+        import resource
+        resource.setrlimit(resource.RLIMIT_AS, (2 << 30, 2 << 30))
+        cpu = max(int(timeout) + 1, 2)
+        resource.setrlimit(resource.RLIMIT_CPU, (cpu, cpu))
+        resource.setrlimit(resource.RLIMIT_NPROC, (32, 32))
+
     with tempfile.TemporaryDirectory() as d:
         path = os.path.join(d, "candidate.py")
         with open(path, "w") as f:
@@ -86,7 +93,8 @@ def execute_candidate(program: str, timeout: float = 10.0) -> Dict:
         try:
             proc = subprocess.run(
                 [sys.executable, path], capture_output=True, text=True,
-                timeout=timeout, cwd=d, env={"PYTHONHASHSEED": "0"})
+                timeout=timeout, cwd=d, env={"PYTHONHASHSEED": "0"},
+                preexec_fn=_limits)
             if proc.returncode == 0:
                 return {"passed": True, "result": "passed"}
             return {"passed": False,
