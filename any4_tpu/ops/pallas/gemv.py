@@ -53,6 +53,49 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def _q4select_kernel(x_ref, w_ref, s_ref, z_ref, lut_ref, o_ref, acc_ref, *,
+                     fmt: str, bn: int, nk: int, kbs: int):
+    """Gather-free LUT dequant via 16 select-FMAs per plane (the "one-hot x
+    LUT as a contraction" design, SURVEY §7: ``deq = sum_v lut[:,v] *
+    (codes==v)``, i.e. onehot(codes) contracted with the LUT row -- the MXU
+    cannot help because per-row LUTs make the contraction a batched
+    diagonal, and building the one-hot operand costs the same VPU compares
+    either way). Kept for measurement/benchmark comparison with the
+    production gather path (PERF_NOTES.md); requires group_size >= 128."""
+    kc = pl.program_id(1)
+
+    @pl.when(kc == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    st = s_ref[:].astype(jnp.float32).T                          # [bn, R]
+    zt = z_ref[:].astype(jnp.float32).T
+    lut = lut_ref[:].astype(jnp.float32)
+    if fmt != "any4":
+        lut = jnp.broadcast_to(lut, (bn, 16))
+    w = w_ref[:]  # [bn, kbs*128] int32
+    planes = []
+    for j in range(kbs * PLANES):
+        b, jj = divmod(j, PLANES)
+        wb = w[:, b * LANES:(b + 1) * LANES]
+        codes = (wb if jj == 0 else
+                 jax.lax.shift_right_logical(wb, 4 * jj)) & 0xF
+        val = jnp.zeros((bn, LANES), jnp.float32)
+        for v in range(16):
+            val = val + jnp.where(codes == v, lut[:, v:v + 1], 0.0)
+        planes.append(
+            (val * st[:, j:j + 1] + zt[:, j:j + 1]).astype(jnp.bfloat16))
+    wfull = jnp.concatenate(planes, axis=1)  # [bn, kbs*1024] bf16
+    part = jax.lax.dot_general(
+        x_ref[:], wfull, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    acc_ref[:] = acc_ref[:] + part
+
+    @pl.when(kc == nk - 1)
+    def _():
+        o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+
+
 def _q4_kernel(x_ref, w_ref, s_ref, z_ref, lut_ref, o_ref, acc_ref, *,
                fmt: str, group_size: int, bn: int, nk: int, kbs: int):
     """One grid step: dequantize a [bn, kbs*1024] k-chunk via fused-table
@@ -100,8 +143,9 @@ def _q4_kernel(x_ref, w_ref, s_ref, z_ref, lut_ref, o_ref, acc_ref, *,
         for p in range(ppt):
             j = t * ppt + p      # global plane index in this chunk
             b, jj = divmod(j, PLANES)
-            codes = jax.lax.shift_right_logical(
-                w[:, b * LANES:(b + 1) * LANES], 4 * jj) & 0xF
+            wb = w[:, b * LANES:(b + 1) * LANES]
+            codes = (wb if jj == 0 else
+                     jax.lax.shift_right_logical(wb, 4 * jj)) & 0xF
             idx = codes + 16 * (p * gpp + lane // g_eff)
             planes.append(
                 jnp.take_along_axis(table, idx, axis=1)
@@ -118,17 +162,19 @@ def _q4_kernel(x_ref, w_ref, s_ref, z_ref, lut_ref, o_ref, acc_ref, *,
         o_ref[:] = acc_ref[:].astype(o_ref.dtype)
 
 
-def _q4pair_kernel(x_ref, w_ref, s_ref, z_ref, o_ref, acc_ref, *,
+def _q4pair_kernel(x_ref, w_ref, s_ref, o_ref, acc_ref, *,
                    bn: int, nk: int, kbs: int):
     """Magic-number pair-packed int4 (fmt="int4p", packing.pack_int4_pair):
     per 128-wide plane, ``(w >> 4p) & 0x000F000F | 0x43004300`` bitcast to
     bf16 yields ``128 + code`` for TWO rows at once (no gather, no
     per-element scale); each plane is one >=128-wide quant group, so its
-    dot's ``[m, bn]`` partial is scaled post-MXU:
-    ``y += P*s + sum(x_g)*(z - 136 s)`` -- the TPU analog of the
-    reference's fp16 magic-number int4 path (Dequantization.cuh:136-260),
-    exact vs the dequant reference (no bf16 rounding of scaled values).
-    """
+    dot's ``[m, bn]`` partial is scaled post-MXU: ``y += P*s`` -- the TPU
+    analog of the reference's fp16 magic-number int4 path
+    (Dequantization.cuh:136-260). The remaining affine term
+    ``sum(x_g)*(z - 136 s)`` depends only on per-group x sums, so the
+    wrapper computes it OUTSIDE the kernel as one tiny [m,G]x[G,n] XLA dot
+    and adds it to the f32 kernel output (same f32 math, VPU work per
+    element drops to the 3 unpack int-ops)."""
     kc = pl.program_id(1)
 
     @pl.when(kc == 0)
@@ -142,17 +188,16 @@ def _q4pair_kernel(x_ref, w_ref, s_ref, z_ref, o_ref, acc_ref, *,
         wb = w[:, b * 128:(b + 1) * 128]
         for p in range(4):
             g = b * 4 + p               # 128-wide scale row index
-            t = (jax.lax.shift_right_logical(wb, 4 * p) & 0x000F000F) \
-                | 0x43004300
+            shifted = wb if p == 0 else \
+                jax.lax.shift_right_logical(wb, 4 * p)
+            t = (shifted & 0x000F000F) | 0x43004300
             v = pltpu.bitcast(t, jnp.bfloat16)      # [bn, 128] = 128+c
             xg = xb[:, g * 128:(g + 1) * 128]
             part = jax.lax.dot_general(
                 xg, v, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)  # [mp, bn]
             sg = s_ref[g:g + 1, :].astype(jnp.float32)   # [1, bn]
-            zg = z_ref[g:g + 1, :].astype(jnp.float32)
-            xs = jnp.sum(xg.astype(jnp.float32), axis=1, keepdims=True)
-            acc = acc + part * sg + xs * (zg - 136.0 * sg)
+            acc = acc + part * sg
     acc_ref[:] = acc
 
     @pl.when(kc == nk - 1)
@@ -226,7 +271,6 @@ def quantized_matmul_padded(
 ) -> jax.Array:
     """Core padded kernel launch; returns ``y [mp, n]``. Use
     :func:`quantized_matmul` for the padding-aware entry point."""
-    del use_gather  # the gather unit is always used (interpreter emulates)
     if fmt == "int8":
         # int8 blocks are 8x larger than packed-int4 at the same block_n;
         # bn=1024 overflows the 16MB VMEM budget (measured on v5e)
@@ -273,6 +317,10 @@ def quantized_matmul_padded(
             "int4p needs group_size a multiple of 128 (plane-constant " \
             "scales for the post-dot affine)"
         assert block_n % 2 == 0
+        # the kernel computes only sum_g P_g*s_g; the x-sum affine term is
+        # one tiny XLA dot outside (see _q4pair_kernel docstring)
+        in_specs.pop()                   # no zeros input
+        args = [x, packed, sz]
         kern = functools.partial(_q4pair_kernel, bn=block_n, nk=nk, kbs=kbs)
     elif fmt in ("any4", "lut4", "int4"):
         if fmt == "any4":
@@ -284,22 +332,31 @@ def quantized_matmul_padded(
         if fmt == "int4":
             lut = (jnp.arange(16, dtype=jnp.float32) - 8.0)[None, :]
         args.append(lut.astype(jnp.float32))
-        kern = functools.partial(
-            _q4_kernel, fmt=fmt, group_size=group_size, bn=block_n, nk=nk,
-            kbs=kbs)
+        if not use_gather:
+            # select-16 one-hot contraction variant (measurement alternative
+            # to the production gather; see _q4select_kernel)
+            assert group_size % LANES == 0, \
+                "use_gather=False requires group_size a multiple of 128"
+            kern = functools.partial(
+                _q4select_kernel, fmt=fmt, bn=block_n, nk=nk, kbs=kbs)
+        else:
+            kern = functools.partial(
+                _q4_kernel, fmt=fmt, group_size=group_size, bn=block_n,
+                nk=nk, kbs=kbs)
     elif fmt == "int8":
         kern = functools.partial(
             _int8_kernel, group_size=group_size, bn=block_n, nk=nk, kbs=kbs)
     else:
         raise ValueError(f"unsupported fmt {fmt!r}")
 
+    kernel_out_dtype = jnp.float32 if fmt == "int4p" else out_dtype
     y = pl.pallas_call(
         kern,
         grid=(nb, nk),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((mp, block_n), lambda i, kc: (0, i),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((mp, np_), out_dtype),
+        out_shape=jax.ShapeDtypeStruct((mp, np_), kernel_out_dtype),
         scratch_shapes=[pltpu.VMEM((mp, block_n), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary")),
@@ -311,6 +368,11 @@ def quantized_matmul_padded(
             transcendentals=0),
         interpret=interpret,
     )(*args)
+    if fmt == "int4p":
+        # x-sum affine correction (f32, added before the output cast so the
+        # result stays exact vs the dequant reference)
+        xs = x.astype(jnp.float32).reshape(mp, kp // LANES, LANES).sum(-1)
+        y = (y + xs @ (zz - 136.0 * sz)).astype(out_dtype)
     return y[:, :n]
 
 

@@ -2,30 +2,32 @@
 reference's headline microbenchmark, README.md:440-455: 1xK * KxK GEMV at
 K=4096; the reference reports ANY4 2.29x / INT4 3.26x on an A5000).
 
-Shape of the measurement: a single 4096^2 GEMV on this chip completes in
-~15-20us wall in the fast regime for EVERY format -- that is the relay's
-per-call dispatch floor, not compute (bf16 at 18us would imply 2.7 TB/s,
-above HBM speed), so single-op ratios carry no signal. Instead we time a
-16-layer CHAIN of GEMVs over 16 distinct weight buffers (decode-shaped:
-each layer's weights stream from HBM, the floor is amortized 16x) and
-report per-layer time. This matches how the kernels are actually used
-(tools/bench_decode.py measures the same effect end-to-end).
+Measurement design (hard-won; see PERF_NOTES.md "relay timing"):
+- The TPU is reached through a relay whose ``block_until_ready`` acks at
+  DISPATCH, not execution: a 16-matmul chain whose device time is
+  provably >=750us (jax.profiler) returns "ready" in ~100us. Wall-clock
+  of dispatch-acked calls measures queue throughput, not kernels.
+- The only honest wall measurement is a call whose VALUE is fetched
+  (forces execution) and whose device time is large enough to amortize
+  the ~40ms fetch round-trip. We run a 16-layer GEMV chain over 16
+  distinct weight buffers (decode-shaped), repeated R times inside one
+  jit via lax.fori_loop, with R chosen adaptively so one timed call
+  takes ~0.5-2s of real device time.
+- The device itself is bimodal (DVFS of the shared pool: ~700 GB/s fast,
+  ~20 GB/s throttled). Formats are timed in interleaved rounds and the
+  per-format minima compared; the report carries the measured effective
+  bandwidth so the regime is visible.
 
 Headline value = int4p (magic-number pair-packed int4, the production
 latency format); any4/int4/nf4 LUT formats reported in detail. When a
 recorded e2e 1B decode run exists (tools/bench_decode.py), its tokens/s
 numbers are attached as e2e_decode_1b.
 
-Measurement notes: the TPU in this environment is reached through a shared
-relay whose effective throughput flips between a fast (device-resident) and
-slow (contended) regime over time, so single-window timings are unreliable.
-We alternate short baseline/candidate windows many times and take the ratio
-of the minima (both minima land in the fast regime).
-
 Prints one JSON line:
   {"metric": ..., "value": N, "unit": "x", "vs_baseline": N/3.26}
 plus per-format details on stderr.
 """
+import functools
 import json
 import sys
 import time
@@ -38,97 +40,142 @@ REFERENCE_ANY4_SPEEDUP = 2.29  # A5000, K=4096 (reference README.md:455)
 REFERENCE_SPEEDUPS = {"any4": 2.29, "int4": 3.26, "nf4": 2.23,
                       "int4p": 3.26, "int8p": 1.0}
 LAYERS = 16  # GEMVs per chain; distinct weight buffers so each streams HBM
+FMTS = ("any4", "int4", "int4p", "int8p", "nf4")
 
 
-def window(f, args, iters):
+def timed_exec(f, args):
+    """Time one call INCLUDING a scalar value fetch (the only barrier the
+    relay honors; block_until_ready acks at dispatch)."""
     t0 = time.perf_counter()
-    r = None
-    for _ in range(iters):
-        r = f(*args)
-    jax.block_until_ready(r)
-    return (time.perf_counter() - t0) / iters
+    y = f(*args)
+    float(np.asarray(jax.device_get(y[0, 0])))
+    return time.perf_counter() - t0
 
 
-def best_of_alternating(fns, rounds=20, iters=4, budget_s=600.0,
-                        fast_us=100.0):
-    """fns: {name: (callable, args)}. Alternates windows; returns (min
-    time per name, fast_regime_seen). The shared pool is bimodal
-    (PERF_NOTES): keeps sampling up to ``budget_s`` until several windows
-    land in the fast regime (bf16 per-layer < fast_us), since
-    throttled-state ratios carry no signal."""
+def build_chain(fmt, x, stacks, shape, kernel_fmt, reps):
+    """Jitted R-times-repeated 16-layer GEMV chain; value-fetch timed.
+    Square shapes feed each layer's output into the next; non-square
+    shapes run the 16 GEMVs off the carried vector and fold their sum
+    back into it (a real data dependency, so the loop cannot be
+    dead-code-eliminated)."""
+    from any4_tpu.ops.pallas import gemv
+    L = LAYERS
+    N, K = shape
+
+    if fmt == "bf16":
+        def layer(a, st, i):
+            (ws,) = st
+            return a @ ws[i].T
+    elif fmt == "int8p":
+        def layer(a, st, i):
+            # duplicate each 128-wide x group for the split-byte planes
+            # (mirrors ops.linear.linear's int8p dispatch)
+            p, s, z, l = st
+            xr = a.reshape(1, a.shape[-1] // 128, 128)
+            xq = jnp.repeat(xr, 2, axis=-2).reshape(1, 2 * a.shape[-1])
+            return gemv.quantized_matmul(
+                xq, p[i], s[i], z[i], None,
+                fmt=kernel_fmt, group_size=128, n=N)
+    else:
+        def layer(a, st, i):
+            p, s, z, l = st
+            return gemv.quantized_matmul(
+                a, p[i], s[i], z[i], None if l is None else l[i],
+                fmt=kernel_fmt, group_size=128, n=N)
+
+    @jax.jit
+    def run(a, st):
+        def body(_, a):
+            if N == K:
+                out = a
+                for i in range(L):
+                    out = layer(out, st, i)
+            else:
+                acc = layer(a, st, 0)
+                for i in range(1, L):
+                    acc = acc + layer(a, st, i)
+                acc = (acc[:, :K] if N >= K
+                       else jnp.pad(acc, ((0, 0), (0, K - N))))
+                out = a + acc.astype(a.dtype)
+            # renormalize once per pass so values stay finite across reps
+            # (cost is negligible vs 16 matmuls)
+            return (out * jax.lax.rsqrt(
+                jnp.float32(jnp.mean(out * out)) + 1e-6)
+                ).astype(jnp.bfloat16)
+        return jax.lax.fori_loop(0, reps, body, a)
+
+    return functools.partial(run, x, stacks)
+
+
+def measure(shape=(4096, 4096), fmts=FMTS, budget_s=420.0, rounds=6,
+            target_call_s=2.0, verbose=True):
+    """Interleaved minima of value-fetch-timed repeated chains.
+    Returns (per-format best seconds per layer, bf16 effective GB/s)."""
+    from any4_tpu.ops import linear as lin
+
+    N, K = shape
+    w = jax.random.normal(jax.random.PRNGKey(0), (N, K), jnp.float32)
+    w = w * (K ** -0.5)
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, K)).astype(jnp.bfloat16)
+    stack = lambda a: None if a is None else jnp.stack([a] * LAYERS)
+
+    mats = {"bf16": (None, (stack(w.astype(jnp.bfloat16)),))}
+    for fmt in fmts:
+        kw = dict(kmeans_iters=8) if fmt == "any4" else {}
+        qt = lin.quantize_tensor(w, fmt, group_size=128, **kw)
+        mats[fmt] = (lin._kernel_fmt(qt.fmt, qt.lut),
+                     (stack(qt.packed), stack(qt.scales), stack(qt.zeros),
+                      stack(qt.lut)))
+
+    # the value fetch itself costs a relay round-trip (~40 ms); measure it
+    # on a trivial op and subtract, and choose R so real compute dwarfs it
+    tiny = jax.jit(lambda v: v + 1)
+    timed_exec(tiny, (x,))  # compile
+    rtt = min(timed_exec(tiny, (x,)) for _ in range(3))
+
+    # calibrate R on bf16 (the most HBM-hungry chain): one R=1 fetch-timed
+    # call tells us the current regime
+    probe = build_chain("bf16", x, mats["bf16"][1], shape, None, 1)
+    probe()  # compile
+    t1 = min(timed_exec(probe, ()) for _ in range(2)) - rtt
+    # an R=1 chain in the fast regime is sub-RTT-jitter (device ~0.7 ms vs
+    # ~40 ms fetch): a tiny/negative t1 just means "fast" -> max reps
+    t1 = max(t1, 1e-3)
+    reps = max(1, min(512, int(target_call_s / t1)))
+    bw = LAYERS * N * K * 2 / t1 / 1e9
+    if verbose:
+        print(f"calibration: rtt {rtt*1e3:.1f} ms, R=1 chain "
+              f"{t1*1e3:.1f} ms ({bw:.0f} GB/s eff) -> reps={reps}",
+              file=sys.stderr)
+
+    fns = {k: build_chain(k, x, st, shape, kf, reps)
+           for k, (kf, st) in mats.items()}
+    for f in fns.values():
+        f()  # compile
+
     best = {k: float("inf") for k in fns}
-    for k, (f, a) in fns.items():
-        jax.block_until_ready(f(*a))
     t0 = time.time()
-    fast_rounds = 0
-    r = 0
-    while (r < rounds or fast_rounds < 3) and time.time() - t0 < budget_s \
-            and fast_rounds < 6:
-        rb = None
-        for k, (f, a) in fns.items():
-            t = window(f, a, iters)
-            best[k] = min(best[k], t)
-            if k == "bf16":
-                rb = t
-        if rb is not None and rb * 1e6 / LAYERS < fast_us:
-            fast_rounds += 1
-        elif rb is not None and rb / LAYERS > 500e-6:
-            time.sleep(5)
-        r += 1
-    return best, fast_rounds > 0
+    for r in range(rounds):
+        if time.time() - t0 > budget_s:
+            break
+        for k, f in fns.items():
+            best[k] = min(best[k], max(timed_exec(f, ()) - rtt, 1e-6))
+    per_layer = {k: v / (reps * LAYERS) for k, v in best.items()}
+    eff_gbs = N * K * 2 / per_layer["bf16"] / 1e9
+    return per_layer, eff_gbs
 
 
 def main():
-    from any4_tpu.ops import linear as lin
-    from any4_tpu.ops.pallas import gemv
-
-    K = N = 4096
-    M = 1
-    L = LAYERS
-    # scale weights ~1/sqrt(K) so activations stay O(1) through the chain
-    w = jax.random.normal(jax.random.PRNGKey(0), (N, K), jnp.float32)
-    w = w * (K ** -0.5)
-    x = jax.random.normal(jax.random.PRNGKey(1), (M, K)).astype(jnp.bfloat16)
-    stack = lambda a: None if a is None else jnp.stack([a] * L)
-
-    wbs = stack(w.astype(jnp.bfloat16))  # (L, N, K): L distinct buffers
-
-    def chain_bf16(a, ws):
-        for i in range(L):
-            a = a @ ws[i].T
-        return a
-
-    fns = {"bf16": (jax.jit(chain_bf16), (x, wbs))}
-    for fmt in ("any4", "int4", "int4p", "int8p", "nf4"):
-        kw = dict(kmeans_iters=8) if fmt == "any4" else {}
-        qt = lin.quantize_tensor(w, fmt, group_size=128, **kw)
-        kfmt = lin._kernel_fmt(qt.fmt, qt.lut)
-        ps, ss, zs, ls = (stack(qt.packed), stack(qt.scales),
-                          stack(qt.zeros), stack(qt.lut))
-
-        def chain_q(a, p, s, z, l, kf=kfmt):
-            for i in range(L):
-                a = gemv.quantized_matmul(
-                    a, p[i], s[i], z[i], None if l is None else l[i],
-                    fmt=kf, group_size=128, n=N)
-            return a
-
-        fns[fmt] = (jax.jit(chain_q), (x, ps, ss, zs, ls))
-
-    best, fast_seen = best_of_alternating(fns)
-    t_b = best["bf16"] / L
-    print(f"bf16 best: {t_b * 1e6:.1f} us/layer "
-          f"({2 * N * K / t_b / 1e9:.0f} GB/s eff)", file=sys.stderr)
-    if not fast_seen:
-        print("WARNING: no fast-regime window observed (bf16 stayed "
-              f"{t_b*1e6:.0f} us/layer); ratios reflect the throttled "
-              "state -- see benchmarks/profile_kernels_r2.json for "
-              "device-time ratios", file=sys.stderr)
+    per_layer, eff_gbs = measure()
+    t_b = per_layer["bf16"]
+    regime = "fast" if eff_gbs > 200 else "throttled"
+    print(f"bf16 best: {t_b * 1e6:.1f} us/layer ({eff_gbs:.0f} GB/s eff, "
+          f"{regime} regime)", file=sys.stderr)
     speedups = {}
-    for fmt in ("any4", "int4", "int4p", "int8p", "nf4"):
-        speedups[fmt] = best["bf16"] / best[fmt]
+    for fmt in FMTS:
+        speedups[fmt] = t_b / per_layer[fmt]
         ref = REFERENCE_SPEEDUPS[fmt]
-        print(f"{fmt} best: {best[fmt] / L * 1e6:.1f} us/layer, "
+        print(f"{fmt} best: {per_layer[fmt] * 1e6:.1f} us/layer, "
               f"speedup {speedups[fmt]:.2f}x (reference {ref:.2f}x)",
               file=sys.stderr)
 
@@ -144,27 +191,29 @@ def main():
         "vs_baseline": round(value / REFERENCE_SPEEDUPS["int4p"], 3),
         "detail": {k: round(v, 3) for k, v in speedups.items()},
         "bf16_us_per_layer": round(t_b * 1e6, 1),
-        "fast_regime_observed": fast_seen,
+        "bf16_effective_gbs": round(eff_gbs, 0),
+        "regime": regime,
     }
     # attach the north-star e2e artifact (tokens/s/chip quantized decode,
     # tools/bench_decode.py) when a recorded run exists
     decode = {}
     for fmt in ("int4p", "any4"):
-        try:
-            with open(f"benchmarks/bench_decode_1b_{fmt}_r2.log") as f:
-                for ln in f:
-                    if ln.startswith("{"):
-                        decode[fmt] = json.loads(ln)
-        except (OSError, json.JSONDecodeError):
-            pass
+        for tag in ("r2b", "r2"):
+            try:
+                with open(f"benchmarks/bench_decode_1b_{fmt}_{tag}.log") as f:
+                    for ln in f:
+                        if ln.startswith("{"):
+                            decode.setdefault(fmt, json.loads(ln))
+            except (OSError, json.JSONDecodeError):
+                pass
     if decode:
         out["e2e_decode_1b"] = {
             k: {"tok_s": v.get(f"{k}_tok_s"), "bf16_tok_s": v.get("bf16_tok_s"),
                 "speedup": v.get("speedup")} for k, v in decode.items()}
-    if not fast_seen:
-        # throttled wall ratios carry no signal; attach the device-time
-        # profiler ratios (regime-proof, tools/profile_kernels.py) so the
-        # artifact records the real kernel comparison
+    if regime == "throttled":
+        # gather-unit DVFS is pessimistic in the throttled state; attach
+        # the device-time profiler ratios (tools/profile_kernels.py,
+        # captured in one process/state) alongside
         try:
             with open("benchmarks/profile_kernels_r2.json") as f:
                 prof = json.load(f)
