@@ -284,6 +284,10 @@ def quantized_matmul_padded(
         assert nkb % k_chunk == 0, \
             f"k_chunk {k_chunk} must divide {nkb} pack blocks"
         kbs = k_chunk
+    elif fmt == "int4p":
+        # chain-timed sweep (tools/tune_chain.py, benchmarks/
+        # tune_chain_int4p_r2.json): kbs=4 consistently ~6% faster than 2
+        kbs = 4 if nkb % 4 == 0 else 2 if nkb % 2 == 0 else 1
     else:
         kbs = 2 if nkb % 2 == 0 else 1   # k-blocks fused per grid step
     nk = nkb // kbs

@@ -124,6 +124,21 @@ class TestGeneralMul:
         y = _mm(x, qt)
         _assert_close(y, _ref(x, qt))
 
+    @pytest.mark.parametrize("fmt", ["int4", "any4", "nf4"])
+    def test_select_variant_matches_gather(self, fmt):
+        # use_gather=False runs the select-16 one-hot LUT contraction
+        # (measurement alternative to the production gather path,
+        # PERF_NOTES.md); both compute bf16(lut*s+z) per element, so they
+        # must agree bit-for-bit
+        n, k = 256, 2048
+        w = jax.random.normal(jax.random.PRNGKey(21), (n, k))
+        kw = dict(kmeans_iters=6) if fmt == "any4" else {}
+        qt = lin.quantize_tensor(w, fmt, group_size=128, **kw)
+        x = jax.random.normal(jax.random.PRNGKey(22), (2, k))
+        yg = lin.linear(x, qt, interpret=True, use_gather=True)
+        ys = lin.linear(x, qt, interpret=True, use_gather=False)
+        np.testing.assert_array_equal(np.asarray(yg), np.asarray(ys))
+
     def test_binary_weights_exact(self):
         # W in {0,1}: int4 grouping is exact, so the kernel must match the
         # f32 matmul to float tolerance (reference test_general_mul)
