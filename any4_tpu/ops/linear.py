@@ -118,8 +118,12 @@ def quantize_tensor(w: jax.Array, fmt: str = "any4", group_size: int = 128,
                 jnp.dtype(w.dtype), row_shards)
     if host_input:
         w = jnp.asarray(w)
+    symmetric = bool(kwargs.pop("scale_only", False))
+    assert not symmetric or fmt in ("int4", "int4p", "int8", "int8p"), \
+        f"scale_only (symmetric) applies to int formats, not {fmt!r}"
     if fmt == "int4":
-        codes, scales, zeros = quant.group_quantize(w, 4, group_size)
+        codes, scales, zeros = quant.group_quantize(w, 4, group_size,
+                                                    symmetric=symmetric)
         packed = packing.pack_int4(codes, row_shards)
         lut = None
     elif fmt == "int4p":
@@ -127,7 +131,8 @@ def quantize_tensor(w: jax.Array, fmt: str = "any4", group_size: int = 128,
         # identical numbers to fmt="int4", different word layout
         assert group_size % 128 == 0, \
             "int4p requires group_size a multiple of 128"
-        codes, scales, zeros = quant.group_quantize(w, 4, group_size)
+        codes, scales, zeros = quant.group_quantize(w, 4, group_size,
+                                                    symmetric=symmetric)
         packed = packing.pack_int4_pair(codes, row_shards)
         lut = None
     elif fmt == "any4":
@@ -147,7 +152,8 @@ def quantize_tensor(w: jax.Array, fmt: str = "any4", group_size: int = 128,
         zeros = jnp.zeros_like(scales)
         lut = jnp.asarray(get_table("mx4"))[None, :]
     elif fmt == "int8":
-        q, scales, zeros = quant.int8_quantize(w, group_size)
+        q, scales, zeros = quant.int8_quantize(w, group_size,
+                                               symmetric=symmetric)
         packed = packing.pack_int8(q, row_shards)
         lut = None
     elif fmt == "int8p":
@@ -159,7 +165,8 @@ def quantize_tensor(w: jax.Array, fmt: str = "any4", group_size: int = 128,
             "int8p requires group_size a multiple of 128"
         assert row_shards == 1, "int8p does not support row_shards yet"
         assert k % 128 == 0, "int8p requires k a multiple of 128"
-        q, scales, zeros = quant.int8_quantize(w, group_size)
+        q, scales, zeros = quant.int8_quantize(w, group_size,
+                                               symmetric=symmetric)
         u = (q.astype(jnp.int32) + 128).astype(jnp.uint8)
         G = k // 128
         u = u.reshape(n, G, 128)

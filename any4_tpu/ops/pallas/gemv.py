@@ -162,19 +162,19 @@ def _q4_kernel(x_ref, w_ref, s_ref, z_ref, lut_ref, o_ref, acc_ref, *,
         o_ref[:] = acc_ref[:].astype(o_ref.dtype)
 
 
-def _q4pair_kernel(x_ref, w_ref, s_ref, o_ref, acc_ref, *,
+def _q4pair_kernel(x_ref, w_ref, s_ref, z_ref, o_ref, acc_ref, *,
                    bn: int, nk: int, kbs: int):
     """Magic-number pair-packed int4 (fmt="int4p", packing.pack_int4_pair):
     per 128-wide plane, ``(w >> 4p) & 0x000F000F | 0x43004300`` bitcast to
     bf16 yields ``128 + code`` for TWO rows at once (no gather, no
     per-element scale); each plane is one >=128-wide quant group, so its
-    dot's ``[m, bn]`` partial is scaled post-MXU: ``y += P*s`` -- the TPU
-    analog of the reference's fp16 magic-number int4 path
-    (Dequantization.cuh:136-260). The remaining affine term
-    ``sum(x_g)*(z - 136 s)`` depends only on per-group x sums, so the
-    wrapper computes it OUTSIDE the kernel as one tiny [m,G]x[G,n] XLA dot
-    and adds it to the f32 kernel output (same f32 math, VPU work per
-    element drops to the 3 unpack int-ops)."""
+    dot's ``[m, bn]`` partial is scaled post-MXU:
+    ``y += P*s + sum(x_g)*(z - 136 s)`` -- the TPU analog of the
+    reference's fp16 magic-number int4 path (Dequantization.cuh:136-260),
+    exact vs the dequant reference (no bf16 rounding of scaled values).
+    (Hoisting the x-sum affine out of the kernel into a per-call XLA dot
+    gains ~2% on long single-shape chains but costs ~25% on e2e decode --
+    112 extra tiny-dot launches per token; see PERF_NOTES.md round 2b.)"""
     kc = pl.program_id(1)
 
     @pl.when(kc == 0)
@@ -197,7 +197,9 @@ def _q4pair_kernel(x_ref, w_ref, s_ref, o_ref, acc_ref, *,
                 xg, v, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)  # [mp, bn]
             sg = s_ref[g:g + 1, :].astype(jnp.float32)   # [1, bn]
-            acc = acc + part * sg
+            zg = z_ref[g:g + 1, :].astype(jnp.float32)
+            xs = jnp.sum(xg.astype(jnp.float32), axis=1, keepdims=True)
+            acc = acc + part * sg + xs * (zg - 136.0 * sg)
     acc_ref[:] = acc
 
     @pl.when(kc == nk - 1)
@@ -321,10 +323,6 @@ def quantized_matmul_padded(
             "int4p needs group_size a multiple of 128 (plane-constant " \
             "scales for the post-dot affine)"
         assert block_n % 2 == 0
-        # the kernel computes only sum_g P_g*s_g; the x-sum affine term is
-        # one tiny XLA dot outside (see _q4pair_kernel docstring)
-        in_specs.pop()                   # no zeros input
-        args = [x, packed, sz]
         kern = functools.partial(_q4pair_kernel, bn=block_n, nk=nk, kbs=kbs)
     elif fmt in ("any4", "lut4", "int4"):
         if fmt == "any4":
@@ -353,14 +351,13 @@ def quantized_matmul_padded(
     else:
         raise ValueError(f"unsupported fmt {fmt!r}")
 
-    kernel_out_dtype = jnp.float32 if fmt == "int4p" else out_dtype
     y = pl.pallas_call(
         kern,
         grid=(nb, nk),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((mp, block_n), lambda i, kc: (0, i),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((mp, np_), kernel_out_dtype),
+        out_shape=jax.ShapeDtypeStruct((mp, np_), out_dtype),
         scratch_shapes=[pltpu.VMEM((mp, block_n), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary")),
@@ -372,11 +369,6 @@ def quantized_matmul_padded(
             transcendentals=0),
         interpret=interpret,
     )(*args)
-    if fmt == "int4p":
-        # x-sum affine correction (f32, added before the output cast so the
-        # result stays exact vs the dequant reference)
-        xs = x.astype(jnp.float32).reshape(mp, kp // LANES, LANES).sum(-1)
-        y = (y + xs @ (zz - 136.0 * sz)).astype(out_dtype)
     return y[:, :n]
 
 

@@ -39,20 +39,32 @@ def _group_view(w: jax.Array, group_size: int) -> jax.Array:
     return w.reshape(n, k // group_size, group_size)
 
 
-def group_quantize(w: jax.Array, n_bit: int = 4, group_size: int = 128):
-    """Asymmetric per-group uniform quantization.
+def group_quantize(w: jax.Array, n_bit: int = 4, group_size: int = 128,
+                   symmetric: bool = False):
+    """Per-group uniform quantization, asymmetric by default.
 
     Returns ``(codes, scales, zeros)`` with ``codes`` uint8 in ``[0, 2^n-1]``
     of shape ``[n, k]`` and ``scales``/``zeros`` float32 ``[n, k/g]``.
     Reconstruction: ``(codes - 2^(n-1)) * scales + zeros``.
+
+    ``symmetric=True`` is the reference's ``scale_only``/``assymetric=False``
+    branch (quantize.py:133-141): ``scales = absmax / (2^(n-1)-1)``,
+    ``zeros = 0`` (wastes the code ``0`` slot, same as the reference).
     """
     wg = _group_view(w.astype(jnp.float32), group_size)
-    max_val = wg.max(axis=-1, keepdims=True)
-    min_val = wg.min(axis=-1, keepdims=True)
-    max_int = 2**n_bit - 1
-    scales = jnp.maximum(max_val - min_val, SCALE_EPS) / max_int
-    zeros = min_val + scales * (2 ** (n_bit - 1))
-    codes = jnp.clip(jnp.round((wg - min_val) / scales), 0, max_int)
+    half = 2 ** (n_bit - 1)
+    if symmetric:
+        absmax = jnp.abs(wg).max(axis=-1, keepdims=True)
+        scales = jnp.maximum(absmax, SCALE_EPS) / (half - 1)
+        zeros = jnp.zeros_like(scales)
+        codes = jnp.clip(jnp.round(wg / scales) + half, 0, 2 ** n_bit - 1)
+    else:
+        max_val = wg.max(axis=-1, keepdims=True)
+        min_val = wg.min(axis=-1, keepdims=True)
+        max_int = 2**n_bit - 1
+        scales = jnp.maximum(max_val - min_val, SCALE_EPS) / max_int
+        zeros = min_val + scales * half
+        codes = jnp.clip(jnp.round((wg - min_val) / scales), 0, max_int)
     codes = codes.astype(jnp.uint8).reshape(w.shape)
     return codes, scales[..., 0], zeros[..., 0]
 
@@ -222,8 +234,10 @@ def mx4_scales(exponents: jax.Array) -> jax.Array:
 # int8 (grouped, same scheme as int4 with n_bit=8)
 # ---------------------------------------------------------------------------
 
-def int8_quantize(w: jax.Array, group_size: int = 128):
-    codes, scales, zeros = group_quantize(w, n_bit=8, group_size=group_size)
+def int8_quantize(w: jax.Array, group_size: int = 128,
+                  symmetric: bool = False):
+    codes, scales, zeros = group_quantize(w, n_bit=8, group_size=group_size,
+                                          symmetric=symmetric)
     # store centered codes in int8 (code - 128 in [-128, 127])
     return (codes.astype(jnp.int32) - 128).astype(jnp.int8), scales, zeros
 

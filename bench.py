@@ -122,7 +122,11 @@ def measure(shape=(4096, 4096), fmts=FMTS, budget_s=420.0, rounds=6,
     mats = {"bf16": (None, (stack(w.astype(jnp.bfloat16)),))}
     for fmt in fmts:
         kw = dict(kmeans_iters=8) if fmt == "any4" else {}
-        qt = lin.quantize_tensor(w, fmt, group_size=128, **kw)
+        # jit the quantizer: eager per-op dispatch through the relay takes
+        # minutes per weight in the throttled regime (boundary-code jitter
+        # vs eager is ~1e-7 -- irrelevant for timing)
+        qt = jax.jit(functools.partial(
+            lin.quantize_tensor, fmt=fmt, group_size=128, **kw))(w)
         mats[fmt] = (lin._kernel_fmt(qt.fmt, qt.lut),
                      (stack(qt.packed), stack(qt.scales), stack(qt.zeros),
                       stack(qt.lut)))

@@ -63,6 +63,33 @@ class TestGroupQuant:
         np.testing.assert_allclose(np.asarray(rec_min)[:, 0],
                                    np.asarray(w.min(axis=1)), rtol=1e-5)
 
+    @pytest.mark.parametrize("n_bit", [4, 8])
+    def test_symmetric_scale_only(self, n_bit):
+        # symmetric=True is the reference's scale_only branch
+        # (quantize.py:133-141): zeros==0, scales=absmax/(2^(n-1)-1), and
+        # values on the symmetric grid reconstruct exactly
+        half = 2 ** (n_bit - 1)
+        g = 64
+        key = jax.random.PRNGKey(3)
+        q = jax.random.randint(key, (8, 256), -(half - 1), half)
+        # pin each group's absmax so the symmetric grid is exact
+        q = q.reshape(8, 256 // g, g).at[:, :, 0].set(half - 1).reshape(8, 256)
+        w = q.astype(jnp.float32) * 0.01
+        codes, scales, zeros = quant.group_quantize(
+            w, n_bit, g, symmetric=True)
+        np.testing.assert_array_equal(np.asarray(zeros), 0.0)
+        w2 = quant.group_dequantize(codes, scales, zeros, n_bit, g)
+        np.testing.assert_allclose(np.asarray(w2), np.asarray(w),
+                                   rtol=1e-5, atol=1e-7)
+
+    def test_scale_only_flows_through_quantize_tensor(self):
+        from any4_tpu.ops import linear as lin
+        w = jax.random.normal(jax.random.PRNGKey(4), (16, 256))
+        qt = lin.quantize_tensor(w, "int4", group_size=128, scale_only=True)
+        np.testing.assert_array_equal(np.asarray(qt.zeros), 0.0)
+        with pytest.raises(AssertionError):
+            lin.quantize_tensor(w, "nf4", group_size=128, scale_only=True)
+
     def test_scales_and_zeros_roundtrip(self):
         w = jax.random.normal(jax.random.PRNGKey(3), (8, 256))
         _, scales, zeros = quant.group_quantize(w, 4, 128)
