@@ -47,6 +47,61 @@ def decode_step(params: Dict, cfg: "llama.LlamaConfig", token: jax.Array,
     return logits[:, -1, :], caches
 
 
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "n_steps", "temperature", "eos_token_id"))
+def decode_loop(params: Dict, cfg: "llama.LlamaConfig", token: jax.Array,
+                pos: jax.Array, kv_caches, n_steps: int,
+                temperature: float = 0.0,
+                key: Optional[jax.Array] = None,
+                done: Optional[jax.Array] = None,
+                eos_token_id: Optional[int] = None):
+    """``n_steps`` decode steps fused into ONE device program (lax.scan).
+
+    Autoregressive decode dispatched step-by-step from Python pays a
+    per-dispatch host cost that can exceed the device time of the step
+    itself (on this machine's relay: ~1.1 ms/dispatch vs a 1.2 ms device
+    step for the int4p 1B model — profiled in
+    benchmarks/profile_decode_1b_int4p.json). Scanning the step inside one
+    jit produces identical tokens with a single dispatch per burst; weights
+    stay resident as loop constants. This is the TPU analog of CUDA-graph
+    decode capture (the reference has no equivalent; its per-step Python
+    loop is benchmark.py:162-198).
+
+    Consumes ``token`` at cache position ``pos`` and returns
+    ``(tokens [b, n_steps], last_logits, pos + n_steps, caches, done)`` —
+    the tokens for positions ``pos+1 .. pos+n_steps``.
+    """
+    b = token.shape[0]
+    if done is None:
+        done = jnp.zeros((b,), jnp.bool_)
+    if key is None:
+        key = jax.random.PRNGKey(0)
+
+    def body(carry, _):
+        tok, p, caches, k, dn, _ = carry
+        logits, caches = llama.forward(
+            params, cfg, tok[:, None],
+            positions=jnp.broadcast_to(p, (b, 1)),
+            kv_caches=caches, cache_pos=p,
+            mask=llama.decode_mask(caches[0][0].shape[1], p))
+        logits = logits[:, -1, :].astype(jnp.float32)
+        if temperature > 0:
+            k, sub = jax.random.split(k)
+            nxt = jax.random.categorical(sub, logits / temperature, axis=-1)
+        else:
+            nxt = jnp.argmax(logits, axis=-1)
+        nxt = nxt.astype(jnp.int32)
+        if eos_token_id is not None:
+            nxt = jnp.where(dn, eos_token_id, nxt)
+            dn = dn | (nxt == eos_token_id)
+        return (nxt, p + 1, caches, k, dn, logits), nxt
+
+    zlog = jnp.zeros((b, cfg.vocab_size), jnp.float32)
+    (tok, pos, kv_caches, key, done, logits), toks = jax.lax.scan(
+        body, (token, pos, kv_caches, key, done, zlog), None, length=n_steps)
+    return toks.T, logits, pos, kv_caches, done
+
+
 def generate(params: Dict, cfg: "llama.LlamaConfig", prompt_ids: jax.Array,
              max_new_tokens: int = 32, temperature: float = 0.0,
              key: Optional[jax.Array] = None,
@@ -60,21 +115,21 @@ def generate(params: Dict, cfg: "llama.LlamaConfig", prompt_ids: jax.Array,
     caches = llama.init_kv_caches(cfg, b, max_len)
     logits, caches = prefill(params, cfg, prompt_ids, caches)
 
-    tokens = [prompt_ids]
-    tok = None
+    if temperature > 0:
+        key, sub = jax.random.split(key)
+        tok = jax.random.categorical(
+            sub, logits.astype(jnp.float32) / temperature, axis=-1)
+    else:
+        tok = jnp.argmax(logits, axis=-1)
+    tok = tok.astype(jnp.int32)
     done = jnp.zeros((b,), jnp.bool_)
-    for i in range(max_new_tokens):
-        if temperature > 0:
-            key, sub = jax.random.split(key)
-            tok = jax.random.categorical(sub, logits / temperature, axis=-1)
-        else:
-            tok = jnp.argmax(logits, axis=-1)
-        tok = tok.astype(jnp.int32)
-        if eos_token_id is not None:
-            tok = jnp.where(done, eos_token_id, tok)
-            done = done | (tok == eos_token_id)
-        tokens.append(tok[:, None])
-        if i + 1 < max_new_tokens:
-            logits, caches = decode_step(
-                params, cfg, tok, jnp.int32(tp + i), caches)
+    if eos_token_id is not None:
+        done = tok == eos_token_id
+    tokens = [prompt_ids, tok[:, None]]
+    if max_new_tokens > 1:
+        toks, _, _, caches, done = decode_loop(
+            params, cfg, tok, jnp.int32(tp), caches, max_new_tokens - 1,
+            temperature=temperature, key=key, done=done,
+            eos_token_id=eos_token_id)
+        tokens.append(toks)
     return jnp.concatenate(tokens, axis=1)

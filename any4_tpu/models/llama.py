@@ -16,6 +16,7 @@ attention as einsums the MXU likes, RoPE precomputed.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any, Dict, Optional, Tuple
 
 import jax
@@ -67,8 +68,13 @@ class LlamaConfig:
                    num_key_value_heads=2, max_position_embeddings=512)
 
 
+@functools.partial(jax.jit, static_argnums=(0,))
 def init_params(cfg: LlamaConfig, key: jax.Array) -> Dict:
-    """Random-initialized parameter pytree (HF loading lives in loader.py)."""
+    """Random-initialized parameter pytree (HF loading lives in loader.py).
+
+    Jitted (cfg static): ~115 eager per-weight dispatches for a 1B model
+    take minutes through this machine's TPU relay; one fused program takes
+    seconds."""
     d, f = cfg.hidden_size, cfg.intermediate_size
     hd = cfg.head_dim_
     nq, nkv = cfg.num_attention_heads, cfg.num_key_value_heads

@@ -16,6 +16,7 @@ by routing weight. That is compute-dense but correct and XLA-friendly
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any, Dict, Optional
 
 import jax
@@ -38,6 +39,7 @@ class MixtralConfig(llama.LlamaConfig):
                    num_local_experts=4, num_experts_per_tok=2)
 
 
+@functools.partial(jax.jit, static_argnums=(0,))
 def init_params(cfg: MixtralConfig, key: jax.Array) -> Dict:
     params = llama.init_params(
         dataclasses.replace(cfg, intermediate_size=cfg.intermediate_size),

@@ -11,6 +11,7 @@ quantization targets -- covered by api.DEFAULT_LINEAR_KEYS).
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any, Dict, Optional
 
 import jax
@@ -41,6 +42,7 @@ class OPTConfig:
                    max_position_embeddings=128)
 
 
+@functools.partial(jax.jit, static_argnums=(0,))
 def init_params(cfg: OPTConfig, key: jax.Array) -> Dict:
     d, f = cfg.hidden_size, cfg.ffn_dim
     keys = iter(jax.random.split(key, 4 + cfg.num_hidden_layers * 8))

@@ -12,7 +12,10 @@ Tensor parallelism: pass ``mesh`` + ``param_spec`` (from
 ``parallel.tp.shard_params``) and both programs run under ``shard_map`` --
 column-parallel q/k/v, head-sharded KV pages, row-parallel o/down with
 psum, replicated logits. This is the north-star configuration: sharded
-decode + paged KV + continuous batching in one engine.
+decode + paged KV + continuous batching in one engine. TP logits match
+the single-device engine to float tolerance (the psum sums k-shard
+partials in a different order, so an exact bf16 logits tie can flip a
+greedy argmax — same caveat as any TP serving system).
 
 The reference has no serving layer; this is the TPU build's new scope
 (BASELINE.json north star).
@@ -136,6 +139,35 @@ def _decode_impl(params, cfg, tokens, seq_lens, tables, k_pages, v_pages,
     return logits[:, -1, :], new_k, new_v
 
 
+def _decode_burst_impl(params, cfg, tokens, seq_lens, tables, k_pages,
+                       v_pages, page_size, n_steps, psum_axis=None):
+    """``n_steps`` greedy decode steps for all slots fused into one device
+    program (lax.scan over :func:`_decode_impl`). Page tables are fixed for
+    the whole burst -- the scheduler pre-allocates ``n_steps`` positions per
+    slot. Amortizes the per-dispatch host/relay cost over the burst exactly
+    like ``models.generate.decode_loop`` (same ~1.1 ms/dispatch motivation;
+    see benchmarks/profile_decode_1b_int4p.json)."""
+    def body(carry, _):
+        toks, lens, kp, vp = carry
+        logits, kp, vp = _decode_impl(params, cfg, toks, lens, tables,
+                                      kp, vp, page_size,
+                                      psum_axis=psum_axis)
+        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        return (nxt, lens + 1, kp, vp), nxt
+
+    (_, _, kp, vp), out = jax.lax.scan(
+        body, (tokens, seq_lens, k_pages, v_pages), None, length=n_steps)
+    return out.T, kp, vp                      # [b, n_steps]
+
+
+_decode_burst = functools.partial(
+    jax.jit, static_argnames=("cfg", "page_size", "n_steps"))(
+    lambda params, cfg, tokens, seq_lens, tables, k_pages, v_pages,
+    page_size, n_steps: _decode_burst_impl(
+        params, cfg, tokens, seq_lens, tables, k_pages, v_pages,
+        page_size, n_steps))
+
+
 _prefill_one = functools.partial(jax.jit,
                                  static_argnames=("cfg", "page_size"))(
     lambda params, cfg, prompt, true_len, k_pages, v_pages, table_row,
@@ -177,6 +209,7 @@ class Engine:
         self.pending: List[Request] = []
         self.finished: List[Request] = []
         self._uid = 0
+        self._greedy = sample_fn is None
         self.sample_fn = sample_fn or (lambda lg: jnp.argmax(lg, axis=-1))
 
         self.mesh = mesh
@@ -187,6 +220,7 @@ class Engine:
         else:
             self._prefill_fn = _prefill_one
             self._decode_fn = _decode_batch
+            self._decode_burst_fn = _decode_burst
 
     # ------------------------------------------------------------------ TP
     def _make_tp_fns(self, param_spec, kv_quantize: bool):
@@ -236,6 +270,27 @@ class Engine:
         self._decode_fn = \
             lambda params, cfg, tokens, sl, tbl, kp, vp, _ps: \
             dec(params, tokens, sl, tbl, kp, vp)
+
+        burst_cache = {}
+
+        def burst_fn(params, cfg, tokens, sl, tbl, kp, vp, _ps, n_steps):
+            if n_steps not in burst_cache:
+                f = jax.shard_map(
+                    functools.partial(
+                        lambda params, tokens, sl, tbl, kp, vp, n: (
+                            _decode_burst_impl(params, cfg_local, tokens,
+                                               sl, tbl, kp, vp, ps, n,
+                                               psum_axis="tp")),
+                        n=n_steps),
+                    mesh=mesh,
+                    in_specs=(param_spec, P(None), P(None), P(None, None),
+                              pages_spec, pages_spec),
+                    out_specs=(P(None, None), pages_spec, pages_spec),
+                    check_vma=False)
+                burst_cache[n_steps] = jax.jit(f)
+            return burst_cache[n_steps](params, tokens, sl, tbl, kp, vp)
+
+        self._decode_burst_fn = burst_fn
         # shard the page pools over heads once up front
         def put(p):
             if isinstance(p, tuple):
@@ -295,8 +350,18 @@ class Engine:
         self.slots[i] = None
         self.alloc.release(i)
 
-    def step(self) -> int:
-        """Admit + one batched decode step. Returns number of active slots."""
+    def step(self, burst: int = 1) -> int:
+        """Admit + one batched decode burst. Returns number of active slots.
+
+        ``burst > 1`` fuses that many greedy decode steps into one device
+        dispatch (power-of-two clamped to bound compile count); admission
+        and retirement happen between bursts, so a larger burst trades
+        scheduling granularity for dispatch amortization. Requires the
+        default greedy sampler -- a custom ``sample_fn`` (host callable)
+        forces per-step dispatch.
+        """
+        if burst > 1 and self._greedy:
+            return self._step_burst(burst)
         self._admit()
         active = [i for i, r in enumerate(self.slots) if r is not None]
         if not active:
@@ -327,12 +392,52 @@ class Engine:
                 self._retire(i)
         return len([s for s in self.slots if s is not None])
 
-    def run(self, max_steps: int = 10000) -> List[Request]:
+    def _step_burst(self, burst: int) -> int:
+        self._admit()
+        active = [i for i, r in enumerate(self.slots) if r is not None]
+        if not active:
+            return 0
+        # shrink the burst until every active slot has page capacity for
+        # all of it; a slot that cannot even fit one more position retires
+        # (out of pages), matching the single-step path
+        n = burst
+        for i in list(active):
+            while n > 1 and not self.alloc.ensure(
+                    i, int(self.seq_lens[i]) + n + 1, self.page_size):
+                n //= 2
+            if not self.alloc.ensure(i, int(self.seq_lens[i]) + 2,
+                                     self.page_size):
+                self._retire(i)
+        active = [i for i, r in enumerate(self.slots) if r is not None]
+        if not active:
+            return 0
+        n = 1 << (n.bit_length() - 1)        # power-of-two compile buckets
+        toks, new_k, new_v = self._decode_burst_fn(
+            self.params, self.cfg, jnp.asarray(self.tokens),
+            jnp.asarray(self.seq_lens), jnp.asarray(self.alloc.table),
+            self.cache.k_pages, self.cache.v_pages, self.page_size, n)
+        self.cache.k_pages, self.cache.v_pages = new_k, new_v
+        toks = np.asarray(toks)
+        for i in active:
+            req = self.slots[i]
+            for j in range(n):
+                tok = int(toks[i, j])
+                req.out_tokens.append(tok)
+                self.seq_lens[i] += 1
+                self.tokens[i] = tok
+                if (len(req.out_tokens) >= req.max_new_tokens or
+                        (req.eos_token_id is not None
+                         and tok == req.eos_token_id)):
+                    self._retire(i)
+                    break
+        return len([s for s in self.slots if s is not None])
+
+    def run(self, max_steps: int = 10000, burst: int = 1) -> List[Request]:
         """Drive until all submitted requests finish."""
         steps = 0
         while (self.pending or any(s is not None for s in self.slots)) \
                 and steps < max_steps:
-            self.step()
+            self.step(burst)
             steps += 1
         out = self.finished
         self.finished = []

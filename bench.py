@@ -202,7 +202,7 @@ def main():
     # tools/bench_decode.py) when a recorded run exists
     decode = {}
     for fmt in ("int4p", "any4"):
-        for tag in ("r2b", "r2"):
+        for tag in ("burst256", "burst", "r2b", "r2"):
             try:
                 with open(f"benchmarks/bench_decode_1b_{fmt}_{tag}.log") as f:
                     for ln in f:

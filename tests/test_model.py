@@ -90,6 +90,39 @@ class TestGenerate:
         assert o1.shape == (2, 9)
         np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2))
 
+    def test_decode_loop_matches_step_loop(self, tiny):
+        """The fused lax.scan decode burst (generate.decode_loop, one
+        dispatch) must produce token-for-token the same greedy output as
+        the per-step dispatch loop, including eos early-stop fill."""
+        cfg, params = tiny
+        ids = jax.random.randint(jax.random.PRNGKey(7), (2, 4), 0,
+                                 cfg.vocab_size)
+        n_new = 6
+        caches = llama.init_kv_caches(cfg, 2, 4 + n_new)
+        logits, caches = generate.prefill(params, cfg, ids, caches)
+        tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        # reference: python step loop
+        ref, cur, cc = [], tok, caches
+        for i in range(n_new - 1):
+            lg, cc = generate.decode_step(params, cfg, cur,
+                                          jnp.int32(4 + i), cc)
+            cur = jnp.argmax(lg, axis=-1).astype(jnp.int32)
+            ref.append(cur)
+        toks, last_logits, pos, _, _ = generate.decode_loop(
+            params, cfg, tok, jnp.int32(4), caches, n_new - 1)
+        np.testing.assert_array_equal(
+            np.asarray(toks), np.stack([np.asarray(r) for r in ref], 1))
+        assert int(pos) == 4 + n_new - 1
+        # eos path: force an eos hit and check fill
+        eos = int(toks[0, 1])
+        toks_e, _, _, _, done = generate.decode_loop(
+            params, cfg, tok, jnp.int32(4), caches, n_new - 1,
+            eos_token_id=eos)
+        assert bool(done[0])
+        after = np.asarray(toks_e[0])
+        hit = int(np.argmax(after == eos))
+        assert (after[hit:] == eos).all()
+
     def test_matches_forward_argmax(self, tiny):
         cfg, params = tiny
         ids = jax.random.randint(jax.random.PRNGKey(6), (1, 4), 0,

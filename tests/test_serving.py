@@ -102,6 +102,33 @@ class TestEngine:
             np.testing.assert_array_equal(
                 np.asarray(by_uid[uid].out_tokens), ref)
 
+    def test_burst_decode_matches_single_step(self, tiny):
+        """burst>1 fuses decode steps into one dispatch (lax.scan); token
+        streams must match the per-step engine exactly, across slot churn,
+        eos early-stop and page-capacity-limited bursts."""
+        cfg, params = tiny
+        rng = np.random.RandomState(1)
+        prompts = [rng.randint(0, cfg.vocab_size, size=n).astype(np.int32)
+                   for n in (4, 7, 5, 6, 3)]
+        e1 = eng.Engine(params, cfg, max_slots=2, max_ctx=32, page_size=8)
+        u1 = [e1.submit(p, max_new_tokens=6) for p in prompts]
+        r1 = {r.uid: r.out_tokens for r in e1.run()}
+        eb = eng.Engine(params, cfg, max_slots=2, max_ctx=32, page_size=8)
+        ub = [eb.submit(p, max_new_tokens=6) for p in prompts]
+        rb = {r.uid: r.out_tokens for r in eb.run(burst=4)}
+        for a, b in zip(u1, ub):
+            np.testing.assert_array_equal(r1[a], rb[b])
+        # eos inside a burst
+        prompt = prompts[0]
+        ref = r1[u1[0]]
+        if len(ref) >= 2:
+            eos = int(ref[1])
+            ee = eng.Engine(params, cfg, max_slots=1, max_ctx=32,
+                            page_size=8)
+            ee.submit(prompt, max_new_tokens=6, eos_token_id=eos)
+            out = ee.run(burst=4)[0].out_tokens
+            assert out[-1] == eos and len(out) <= 2
+
     def test_pages_recycled(self, tiny):
         cfg, params = tiny
         e = eng.Engine(params, cfg, max_slots=1, max_ctx=32, page_size=8,
@@ -214,15 +241,34 @@ class TestTPEngine:
         mesh = tp.make_mesh(dp=1, tp=2, devices=jax.devices()[:2])
         sharded, specs = tp.shard_params(fused, mesh, cfg=cfg)
         prompt = np.asarray([3, 1, 4, 1, 5], np.int32)
-        single = eng.Engine(fused, cfg, max_slots=1, max_ctx=32,
-                            page_size=8)
-        single.submit(prompt, max_new_tokens=4)
-        expect = single.run()[0].out_tokens
-        e = eng.Engine(sharded, cfg, max_slots=1, max_ctx=32, page_size=8,
-                       mesh=mesh, param_spec=specs)
-        e.submit(prompt, max_new_tokens=4)
-        got = e.run()[0].out_tokens
-        np.testing.assert_array_equal(got, expect)
+        # Teacher-forced logits parity: free-running greedy token equality
+        # is fragile -- the TP psum sums k-shard partials in a different
+        # float order than the single-device dot, and an exact bf16
+        # logits tie then flips argmax (observed: top-2 both 2.765625).
+        # Forcing the same token stream through both engines compares the
+        # actual TP decode math step by step.
+        forced = [7, 11, 13, 17]
+
+        def run_forced(params_, mesh_=None, specs_=None):
+            e = eng.Engine(params_, cfg, max_slots=1, max_ctx=32,
+                           page_size=8, mesh=mesh_, param_spec=specs_)
+            cap = []
+            it = iter(forced)
+
+            def sample(lg):
+                cap.append(np.asarray(lg, np.float32))
+                return jnp.full((lg.shape[0],), next(it), jnp.int32)
+
+            e.sample_fn = sample
+            e.submit(prompt, max_new_tokens=4)
+            e.run()
+            return cap
+
+        ls = run_forced(fused)
+        lt = run_forced(sharded, mesh, specs)
+        assert len(ls) == len(lt) == 4
+        for a, b in zip(ls, lt):
+            np.testing.assert_allclose(a, b, atol=0.1)
 
 
 class TestQuantizedKV:

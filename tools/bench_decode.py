@@ -15,6 +15,7 @@ import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 sys.path.insert(0, ".")
 
@@ -46,17 +47,19 @@ def prep_decode(params, cfg, batch, prompt_len, new_tokens):
     caches = llama.init_kv_caches(cfg, batch, prompt_len + new_tokens + 2)
     logits, caches = generate.prefill(params, cfg, prompt, caches)
     tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-    _, caches = generate.decode_step(params, cfg, tok,
-                                     jnp.int32(prompt_len), caches)
+    # warm the fused burst program (generate.decode_loop: the whole burst is
+    # ONE dispatch -- per-step dispatch through the relay costs ~1.1 ms,
+    # comparable to the device step itself; see
+    # benchmarks/profile_decode_1b_int4p.json)
+    toks, *_ = generate.decode_loop(params, cfg, tok, jnp.int32(prompt_len),
+                                    caches, new_tokens)
+    jax.block_until_ready(toks)
 
     def run():
-        cur, cc = tok, caches
         t0 = time.perf_counter()
-        for i in range(new_tokens):
-            lg, cc = generate.decode_step(
-                params, cfg, cur, jnp.int32(prompt_len + 1 + i), cc)
-            cur = jnp.argmax(lg, axis=-1).astype(jnp.int32)
-        jax.block_until_ready(cur)
+        toks, *_ = generate.decode_loop(
+            params, cfg, tok, jnp.int32(prompt_len), caches, new_tokens)
+        int(np.asarray(jax.device_get(toks[0, -1])))  # force execution
         return (time.perf_counter() - t0) / new_tokens
 
     return run

@@ -36,8 +36,7 @@ def main():
 
     cfg = llama.LlamaConfig(**SIZES[args.size])
     t0 = time.time()
-    params = llama.init_params(jax.random.PRNGKey(0), cfg,
-                               dtype=jnp.bfloat16)
+    params = llama.init_params(cfg, jax.random.PRNGKey(0))
     print(f"init in {time.time() - t0:.0f}s", file=sys.stderr)
     t0 = time.time()
     if args.fmt != "bf16":
