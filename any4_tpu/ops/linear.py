@@ -23,8 +23,16 @@ from .pallas import gemv
 
 # formats whose packed codes are 4-bit planar words
 _NIBBLE_FMTS = ("int4", "any4", "nf4", "fp4", "mx4")
-# m threshold below which the fused GEMV kernel is used
-FUSED_M_MAX = 32
+# m threshold below which the fused GEMV kernel is used. Measured on
+# hardware (tools/tune_m.py, benchmarks/tune_m_{int4p,any4}_4096.json):
+# the kernel's cost is dominated by per-weight-element dequant work, so
+# it is FLAT in m until the MXU dots catch up (int4p 29 us/layer at
+# m=1..64, 63 us at m=256; any4 153-171 us through m=512), while the
+# dequantize-then-matmul path pays the dense reconstruction every call
+# (int4p ~600 us, any4 275-640 us after the select-chain fix). Prefill
+# at serving bucket sizes (<=512) therefore always takes the fused
+# kernel.
+FUSED_M_MAX = 512
 
 
 @jax.tree_util.register_pytree_node_class
@@ -252,10 +260,17 @@ def dequantize_tensor(qt: QuantizedTensor, dtype=None) -> jax.Array:
             codes = packing.unpack_int4(qt.packed, kp).astype(jnp.int32)
         if qt.fmt in ("int4", "int4p"):
             q = (codes - 8).astype(jnp.float32)
-        elif qt.fmt == "any4" and qt.lut.shape[0] != 1:
-            q = jnp.take_along_axis(qt.lut.astype(jnp.float32), codes, axis=1)
-        else:  # global table (nf4/fp4/mx4 and global-LUT any4)
-            q = qt.lut[0].astype(jnp.float32)[codes]
+        else:
+            # LUT lookup as 16 fused compare-selects: an XLA gather here
+            # (take_along_axis) measured ~196 ms for a 4096^2 weight on
+            # TPU vs ~0.3 ms for the select chain (benchmarks/
+            # tune_m_any4_4096.json drove this); bit-exact either way
+            lut = qt.lut.astype(jnp.float32)
+            if lut.shape[0] == 1:   # global table (nf4/fp4/mx4/global-any4)
+                lut = jnp.broadcast_to(lut, (n, 16))
+            q = jnp.zeros(codes.shape, jnp.float32)
+            for c in range(16):
+                q = q + jnp.where(codes == c, lut[:, c:c + 1], 0.0)
     scales = jnp.repeat(qt.scales.T, g, axis=1)[:, :kp]
     zeros = jnp.repeat(qt.zeros.T, g, axis=1)[:, :kp]
     w = q * scales + zeros

@@ -315,6 +315,7 @@ class Engine:
         return min(L, self.max_ctx)
 
     def _admit(self):
+        newly = []
         for i in range(self.max_slots):
             if self.slots[i] is not None or not self.pending:
                 continue
@@ -337,11 +338,18 @@ class Engine:
                 jnp.int32(min(t, L)), self.cache.k_pages,
                 self.cache.v_pages, table_row, self.page_size)
             self.cache.k_pages, self.cache.v_pages = new_k, new_v
-            tok = int(self.sample_fn(last_logits[None])[0])
-            req.out_tokens.append(tok)
+            newly.append((i, req, self.sample_fn(last_logits[None])))
             self.slots[i] = req
-            self.tokens[i] = tok
             self.seq_lens[i] = t
+        if newly:
+            # one host fetch for the whole admission wave (a per-request
+            # fetch costs a full relay round trip each)
+            vals = np.asarray(jax.device_get(
+                jnp.concatenate([jnp.asarray(tok).reshape(-1)
+                                 for _, _, tok in newly])))
+            for (i, req, _), v in zip(newly, vals):
+                req.out_tokens.append(int(v))
+                self.tokens[i] = int(v)
 
     def _retire(self, i: int):
         req = self.slots[i]

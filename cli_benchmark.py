@@ -22,18 +22,18 @@ def decode_tokens_per_s(params, cfg, prompt, new_tokens, trials=3):
                                   prompt.shape[1] + new_tokens)
     logits, caches = generate.prefill(params, cfg, prompt, caches)
     tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-    # warm the decode program
-    _, caches = generate.decode_step(params, cfg, tok,
-                                     jnp.int32(prompt.shape[1]), caches)
+    pos = jnp.int32(prompt.shape[1])
+    # warm the fused burst program (one dispatch per burst; see
+    # generate.decode_loop)
+    toks, *_ = generate.decode_loop(params, cfg, tok, pos, caches,
+                                    new_tokens)
+    jax.block_until_ready(toks)
     best = float("inf")
     for _ in range(trials):
         t0 = time.perf_counter()
-        cur, cc = tok, caches
-        for i in range(new_tokens):
-            lg, cc = generate.decode_step(
-                params, cfg, cur, jnp.int32(prompt.shape[1] + i), cc)
-            cur = jnp.argmax(lg, axis=-1).astype(jnp.int32)
-        jax.block_until_ready(cur)
+        toks, *_ = generate.decode_loop(params, cfg, tok, pos, caches,
+                                        new_tokens)
+        int(np.asarray(jax.device_get(toks[0, -1])))  # force execution
         best = min(best, time.perf_counter() - t0)
     return new_tokens * prompt.shape[0] / best
 

@@ -78,7 +78,7 @@ class TestGeneralK:
         y = _mm(x, qt)
         _assert_close(y, _ref(x, qt))
 
-    @pytest.mark.parametrize("m", [1, 3, 16, 33])
+    @pytest.mark.parametrize("m", [1, 3, 16, 33, 64, 130])
     def test_m_sweep(self, m):
         k, n = 1024, 256
         w = jax.random.normal(jax.random.PRNGKey(3), (n, k))

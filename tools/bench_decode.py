@@ -37,6 +37,46 @@ SIZES = {
 }
 
 
+def host_init_params(cfg, seed=0):
+    """Random weights as host numpy (float32), mirroring
+    llama.init_params' structure -- lets quantize_model move each linear
+    to HBM already packed, so a model whose bf16 form exceeds HBM (8B on
+    a 16 GB chip) can still be quantized and served. The analog of the
+    reference's CPU-side pre-quantization staging (quantize.py:851-861
+    moves weights to CPU on CUDA OOM)."""
+    rng = np.random.default_rng(seed)
+    d, f = cfg.hidden_size, cfg.intermediate_size
+    hd = cfg.head_dim_
+    nq, nkv = cfg.num_attention_heads, cfg.num_key_value_heads
+
+    def dense(n_out, n_in):
+        w = rng.standard_normal((n_out, n_in), np.float32)
+        w *= 1.0 / np.sqrt(n_in)
+        return w
+
+    params = {
+        "embed_tokens": rng.standard_normal(
+            (cfg.vocab_size, d), np.float32) * 0.02,
+        "norm": np.ones((d,), np.float32),
+        "layers": [],
+    }
+    for _ in range(cfg.num_hidden_layers):
+        params["layers"].append({
+            "input_layernorm": np.ones((d,), np.float32),
+            "post_attention_layernorm": np.ones((d,), np.float32),
+            "q_proj": dense(nq * hd, d),
+            "k_proj": dense(nkv * hd, d),
+            "v_proj": dense(nkv * hd, d),
+            "o_proj": dense(d, nq * hd),
+            "gate_proj": dense(f, d),
+            "up_proj": dense(f, d),
+            "down_proj": dense(d, f),
+        })
+    if not cfg.tie_word_embeddings:
+        params["lm_head"] = dense(cfg.vocab_size, d)
+    return params
+
+
 def prep_decode(params, cfg, batch, prompt_len, new_tokens):
     """Prefill + warm the decode program; returns a run() closure that
     measures seconds/token for one decode burst."""
@@ -79,6 +119,11 @@ def main():
     p.add_argument("--fuse", action="store_true",
                    help="fuse qkv / gate+up projections (fewer kernel "
                         "launches per layer)")
+    p.add_argument("--host-init", action="store_true",
+                   help="build random weights host-side (numpy) and move "
+                        "them to HBM only as quantized tensors -- for "
+                        "models whose bf16 form exceeds HBM (e.g. 8B on "
+                        "a 16 GB chip); implies --skip-bf16")
     args = p.parse_args()
 
     from any4_tpu.models import fuse, llama
@@ -86,15 +131,20 @@ def main():
 
     cfg = llama.LlamaConfig(**SIZES[args.size])
     t0 = time.time()
-    params = llama.init_params(cfg, jax.random.PRNGKey(0))
-    jax.block_until_ready(params["layers"][0]["q_proj"])
-    nbytes = api.model_size_bytes(params)
+    if args.host_init:
+        args.skip_bf16 = True
+        params = host_init_params(cfg, seed=0)
+        nbytes = sum(a.nbytes for a in jax.tree.leaves(params))
+    else:
+        params = llama.init_params(cfg, jax.random.PRNGKey(0))
+        jax.block_until_ready(params["layers"][0]["q_proj"])
+        nbytes = api.model_size_bytes(params)
     print(f"init {args.size}: {nbytes/1e9:.2f} GB in {time.time()-t0:.0f}s",
           file=sys.stderr)
 
     out = {"size": args.size, "batch": args.batch, "fused": args.fuse,
            "model_gb": round(nbytes / 1e9, 3)}
-    if args.fuse:
+    if args.fuse and not args.skip_bf16:
         params_run = fuse.fuse_projections(params)
     else:
         params_run = params
@@ -105,6 +155,15 @@ def main():
                             group_size=args.group_size, **kw)
     if args.fuse:
         qp = fuse.fuse_projections(qp)
+    if args.host_init:
+        # non-linear leaves (embed, norms) are still host numpy: move the
+        # small remainder to device bf16 now that the big linears are
+        # packed 4/8-bit
+        qp = jax.tree.map(
+            lambda a: jnp.asarray(a, jnp.bfloat16)
+            if isinstance(a, np.ndarray) else a, qp,
+            is_leaf=lambda a: isinstance(a, np.ndarray))
+        del params
     qbytes = api.model_size_bytes(qp)
     print(f"quantized in {time.time()-t0:.0f}s -> {qbytes/1e9:.2f} GB",
           file=sys.stderr)

@@ -31,6 +31,9 @@ def main():
     p.add_argument("--requests", type=int, default=16)
     p.add_argument("--group-size", type=int, default=128)
     p.add_argument("--kv-quantize", action="store_true")
+    p.add_argument("--burst", type=int, default=1,
+                   help="decode steps fused per dispatch "
+                        "(Engine.step burst)")
     p.add_argument("--cpu", action="store_true")
     args = p.parse_args()
     if args.cpu:
@@ -54,15 +57,16 @@ def main():
                    page_size=16, kv_quantize=args.kv_quantize)
     rng = np.random.RandomState(0)
 
-    # warm both programs
-    e.submit(rng.randint(0, cfg.vocab_size, args.prompt_len), 2)
-    e.run()
+    # warm all programs (prefill, decode, burst)
+    e.submit(rng.randint(0, cfg.vocab_size, args.prompt_len),
+             max(2, args.burst + 1))
+    e.run(burst=args.burst)
 
     for _ in range(args.requests):
         e.submit(rng.randint(0, cfg.vocab_size, size=args.prompt_len)
                  .astype(np.int32), max_new_tokens=args.new_tokens)
     t0 = time.time()
-    done = e.run()
+    done = e.run(burst=args.burst)
     dt = time.time() - t0
     total_tokens = sum(len(r.out_tokens) for r in done)
     out = {"size": args.size, "fmt": args.fmt or "bf16",
@@ -70,7 +74,7 @@ def main():
            "total_new_tokens": total_tokens,
            "wall_s": round(dt, 2),
            "tok_s": round(total_tokens / dt, 2),
-           "kv_quantize": args.kv_quantize}
+           "kv_quantize": args.kv_quantize, "burst": args.burst}
     print(json.dumps(out))
 
 
