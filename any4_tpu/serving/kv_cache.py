@@ -19,6 +19,7 @@ vLLM-style adapted to XLA's static shapes:
 from __future__ import annotations
 
 import functools
+import os
 from dataclasses import dataclass
 from typing import List, Optional, Tuple
 
@@ -271,27 +272,51 @@ def flash_paged_decode(q: jax.Array, k_pages: jax.Array, v_pages: jax.Array,
     return out.reshape(b, nq, d)
 
 
+# Largest gathered-context footprint (k+v dense views, bytes) for which
+# decode attention takes the dense-gather path; measured crossover on the
+# v5e-class chip -- see paged_attention's docstring and
+# benchmarks/bench_paged_attn_*.json
+DENSE_CTX_BYTES = 256 * 1024 * 1024
+
+
 def paged_attention(q: jax.Array, k_pages: jax.Array, v_pages: jax.Array,
                     seq_lens: jax.Array, table: jax.Array,
                     pages_per_compute_block: int = 4) -> jax.Array:
-    """Flash paged attention for decode: q [b, nq, d] -> out [b, nq, d].
+    """Paged attention for decode: q [b, nq, d] -> out [b, nq, d].
 
-    On TPU: the upstream pallas paged_attention kernel when
-    head_dim % 128 == 0 (it tiles head_dim on lanes), else our
-    :func:`flash_paged_decode` (head_dim on the contraction axis -- covers
-    hd=64 flagships). Off-TPU: a dense-gather reference (identical math) --
-    except unquantized pools, which run flash_paged_decode in interpret
-    mode so the kernel itself is CI-covered.
+    Dispatch (measured, benchmarks/bench_paged_attn_*.json): below
+    ``DENSE_CTX_BYTES`` of gathered context the dense gather+attention
+    (plain XLA ops) is the production path -- on this chip it beats the
+    page-grid kernels by ~10x in device time at serving-size contexts
+    (b=8, ctx=512, hd=64: 73us vs 844us/step; the per-page grid steps do
+    16x64-sized dots that leave the MXU idle and pay grid overhead per
+    page). Kernels take over only where materializing the dense
+    [b, ctx, h, d] view gets prohibitively large: the upstream pallas
+    kernel when head_dim % 128 == 0 (it tiles head_dim on lanes), else
+    our :func:`flash_paged_decode` (head_dim on the contraction axis --
+    covers hd=64 flagships). ``ANY4_PAGED_IMPL`` in {dense, flash,
+    upstream} overrides for benchmarking. Off-TPU: dense, except
+    unquantized pools route through flash_paged_decode in interpret mode
+    so the kernel stays CI-covered.
     """
     b, nq, d = q.shape
     quantized = isinstance(k_pages, tuple)
-    h = (k_pages[0] if quantized else k_pages).shape[0]
-    if d % 128 != 0:
-        # hd=64-class models: our flash kernel (quantized pools dequantize
-        # their int8 pages + per-token scales in-kernel)
-        return flash_paged_decode(q, k_pages, v_pages, seq_lens, table,
-                                  interpret=jax.default_backend() != "tpu")
-    if jax.default_backend() == "tpu" and d % 128 == 0:
+    kp = k_pages[0] if quantized else k_pages
+    h, ctx = kp.shape[0], table.shape[1] * kp.shape[2]
+    on_tpu = jax.default_backend() == "tpu"
+    impl = os.environ.get("ANY4_PAGED_IMPL", "")  # benchmarking override
+    if not impl:
+        if not on_tpu:
+            # CPU/test backends: dense, except unquantized pools run the
+            # flash kernel interpreted so it stays CI-covered
+            impl = "dense" if quantized else "flash"
+        else:
+            dense_bytes = 2 * b * ctx * h * d * 2  # k+v ctx views, bf16
+            if dense_bytes <= DENSE_CTX_BYTES:
+                impl = "dense"
+            else:
+                impl = "upstream" if d % 128 == 0 else "flash"
+    if impl == "upstream" and on_tpu and d % 128 == 0:
         from jax.experimental.pallas.ops.tpu.paged_attention import (
             paged_attention as pa, quantization_utils as qu)
         scale = 1.0 / np.sqrt(d)
@@ -309,7 +334,22 @@ def paged_attention(q: jax.Array, k_pages: jax.Array, v_pages: jax.Array,
             (q * scale).astype(k_pages.dtype), k_pages, v_pages,
             seq_lens.astype(jnp.int32), table.astype(jnp.int32),
             pages_per_compute_block=blk)
-    # dense fallback
+    if impl == "flash":
+        # any head_dim (quantized pools dequantize their int8 pages +
+        # per-token scales in-kernel)
+        return flash_paged_decode(q, k_pages, v_pages, seq_lens, table,
+                                  interpret=not on_tpu)
+    return _dense_paged_attention(q, k_pages, v_pages, seq_lens, table)
+
+
+def _dense_paged_attention(q, k_pages, v_pages, seq_lens, table):
+    """Gather a dense context view and attend with plain XLA ops (the
+    off-TPU reference; also selectable on TPU via ANY4_PAGED_IMPL=dense
+    for benchmarking -- at small contexts the materialized gather can beat
+    a page-grid kernel whose per-grid-step overhead dominates)."""
+    b, nq, d = q.shape
+    quantized = isinstance(k_pages, tuple)
+    h = (k_pages[0] if quantized else k_pages).shape[0]
     rep = nq // h
     kctx = gather_ctx(k_pages, table)               # [b, ctx, h, d]
     vctx = gather_ctx(v_pages, table)
