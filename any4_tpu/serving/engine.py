@@ -314,6 +314,24 @@ class Engine:
             L *= 2
         return min(L, self.max_ctx)
 
+    def _ctx_table(self, extra: int):
+        """Page table sliced to a power-of-two page bucket covering every
+        active slot's length + ``extra`` new positions. The dense-gather
+        attention path reads the full table width each step, so slicing
+        the table to the live context (e.g. 128 of 512 positions early in
+        decode) cuts its HBM traffic proportionally; power-of-two buckets
+        keep the compile count O(log pages_per_seq)."""
+        need = 1
+        for i, r in enumerate(self.slots):
+            if r is not None:
+                need = max(need, int(self.seq_lens[i]) + extra)
+        pages = -(-need // self.page_size)
+        bucket = 1
+        while bucket < pages:
+            bucket *= 2
+        bucket = min(bucket, self.pps)
+        return jnp.asarray(self.alloc.table[:, :bucket])
+
     def _admit(self):
         newly = []
         for i in range(self.max_slots):
@@ -384,7 +402,7 @@ class Engine:
             return 0
         logits, new_k, new_v = self._decode_fn(
             self.params, self.cfg, jnp.asarray(self.tokens),
-            jnp.asarray(self.seq_lens), jnp.asarray(self.alloc.table),
+            jnp.asarray(self.seq_lens), self._ctx_table(2),
             self.cache.k_pages, self.cache.v_pages, self.page_size)
         self.cache.k_pages, self.cache.v_pages = new_k, new_v
         next_tokens = np.asarray(self.sample_fn(logits))
@@ -422,7 +440,7 @@ class Engine:
         n = 1 << (n.bit_length() - 1)        # power-of-two compile buckets
         toks, new_k, new_v = self._decode_burst_fn(
             self.params, self.cfg, jnp.asarray(self.tokens),
-            jnp.asarray(self.seq_lens), jnp.asarray(self.alloc.table),
+            jnp.asarray(self.seq_lens), self._ctx_table(n + 1),
             self.cache.k_pages, self.cache.v_pages, self.page_size, n)
         self.cache.k_pages, self.cache.v_pages = new_k, new_v
         toks = np.asarray(toks)

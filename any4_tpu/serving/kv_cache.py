@@ -119,22 +119,30 @@ def write_tokens(pages, kv: jax.Array, page_ids: jax.Array,
     return flat.reshape(pages.shape)
 
 
-def gather_ctx(pages, table: jax.Array) -> jax.Array:
-    """Gather a dense [b, max_ctx, h, d] context view from the page pool
-    (CPU fallback path; dequantizes int8 pools). table: [b, pages_per_seq]
-    physical page ids."""
+def gather_ctx_hmajor(pages, table: jax.Array) -> jax.Array:
+    """Gather a dense [h, b, max_ctx, d] context view from the page pool
+    in the gather's NATIVE dimension order -- no transpose, so XLA keeps
+    the pool's default layout (a [b, ctx, h, d] result forces full-pool
+    layout copies every decode step; see PERF_NOTES paged-attention
+    addendum). Dequantizes int8 pools. table: [b, pages_per_seq]."""
     if isinstance(pages, tuple):
         from jax.experimental.pallas.ops.tpu.paged_attention import (
             quantization_utils as qu)
         qpages, scales = pages
-        g = gather_ctx(qpages, table).astype(jnp.float32)
-        sc = gather_ctx(scales, table)
+        g = gather_ctx_hmajor(qpages, table).astype(jnp.float32)
+        sc = gather_ctx_hmajor(scales, table)
         return qu.from_int8(g, sc, dtype=jnp.float32)
     h, P, ps, d = pages.shape
     b, pps = table.shape
     g = pages[:, table.reshape(-1)]                 # [h, b*pps, ps, d]
-    g = g.reshape(h, b, pps * ps, d)
-    return g.transpose(1, 2, 0, 3)                  # [b, ctx, h, d]
+    return g.reshape(h, b, pps * ps, d)
+
+
+def gather_ctx(pages, table: jax.Array) -> jax.Array:
+    """Dense [b, max_ctx, h, d] context view (test/debug convenience;
+    the hot path uses :func:`gather_ctx_hmajor` to avoid the layout
+    transpose)."""
+    return gather_ctx_hmajor(pages, table).transpose(1, 2, 0, 3)
 
 
 def _flash_decode_kernel_q(seq_ref, tbl_ref, q_ref, k_ref, ks_ref, v_ref,
@@ -351,15 +359,22 @@ def _dense_paged_attention(q, k_pages, v_pages, seq_lens, table):
     quantized = isinstance(k_pages, tuple)
     h = (k_pages[0] if quantized else k_pages).shape[0]
     rep = nq // h
-    kctx = gather_ctx(k_pages, table)               # [b, ctx, h, d]
-    vctx = gather_ctx(v_pages, table)
-    kx = jnp.repeat(kctx, rep, axis=2)
-    vx = jnp.repeat(vctx, rep, axis=2)
+    kctx = gather_ctx_hmajor(k_pages, table)        # [h, b, ctx, d]
+    vctx = gather_ctx_hmajor(v_pages, table)
+    # grouped-head GQA dots (q heads grouped per kv head) -- no
+    # jnp.repeat: expanding KV to nq heads materializes rep x the
+    # context and showed up as ~250 us/step of broadcast+convert in the
+    # 1B engine profile. The big operands stay in the gather-native
+    # [h, b, c, d] order with (h, b) as leading dot batch dims -- a
+    # [b, c, h, d] view forced 4.2 MB layout copies of both the views
+    # and the pools every step. bf16 inputs, f32 MXU accumulation.
+    qh = q.reshape(b, h, rep, d).transpose(1, 0, 2, 3)   # [h, b, rep, d]
     scale = 1.0 / np.sqrt(d)
-    logits = jnp.einsum("bhd,bshd->bhs", q.astype(jnp.float32),
-                        kx.astype(jnp.float32)) * scale
-    ctx_pos = jnp.arange(kctx.shape[1])[None, None, :]
-    mask = jnp.where(ctx_pos < seq_lens[:, None, None], 0.0, -1e9)
+    logits = jnp.einsum("hbrd,hbcd->hbrc", qh * scale, kctx,
+                        preferred_element_type=jnp.float32)
+    ctx_pos = jnp.arange(kctx.shape[2])[None, None, None, :]
+    mask = jnp.where(ctx_pos < seq_lens[None, :, None, None], 0.0, -1e9)
     probs = jax.nn.softmax(logits + mask, axis=-1)
-    out = jnp.einsum("bhs,bshd->bhd", probs.astype(vx.dtype), vx)
-    return out
+    out = jnp.einsum("hbrc,hbcd->hbrd", probs.astype(vctx.dtype), vctx,
+                     preferred_element_type=jnp.float32)
+    return out.transpose(1, 0, 2, 3).reshape(b, nq, d).astype(q.dtype)

@@ -45,6 +45,8 @@ def main():
 
     cfg = llama.LlamaConfig(**SIZES[args.size])
     params = llama.init_params(cfg, jax.random.PRNGKey(0))
+    if args.fmt == "bf16":
+        args.fmt = None
     if args.fmt:
         kw = dict(kmeans_iters=4) if args.fmt == "any4" else {}
         t0 = time.time()
