@@ -108,7 +108,10 @@ def quantize_tensor(w: jax.Array, fmt: str = "any4", group_size: int = 128,
         # whole-row grouping when the layer is narrower than the group
         group_size = k
     host_input = isinstance(w, _np.ndarray)
-    if fmt == "int4" and host_input and k % group_size == 0:
+    int_zeros = bool(kwargs.pop("int_zeros", False))
+    assert not int_zeros or fmt in ("int4", "int4p", "int8", "int8p"), \
+        f"int_zeros (group_q1/new_grouping) applies to int formats, not {fmt!r}"
+    if fmt == "int4" and host_input and k % group_size == 0 and not int_zeros:
         # host-side (checkpoint-conversion) fast path: the C++/OpenMP data
         # plane quantizes+packs without a device round trip (the analog of
         # the reference's host conversion stage, TinyGemmConvertB.cu:21-466)
@@ -130,8 +133,8 @@ def quantize_tensor(w: jax.Array, fmt: str = "any4", group_size: int = 128,
     assert not symmetric or fmt in ("int4", "int4p", "int8", "int8p"), \
         f"scale_only (symmetric) applies to int formats, not {fmt!r}"
     if fmt == "int4":
-        codes, scales, zeros = quant.group_quantize(w, 4, group_size,
-                                                    symmetric=symmetric)
+        codes, scales, zeros = quant.group_quantize(
+            w, 4, group_size, symmetric=symmetric, int_zeros=int_zeros)
         packed = packing.pack_int4(codes, row_shards)
         lut = None
     elif fmt == "int4p":
@@ -139,8 +142,8 @@ def quantize_tensor(w: jax.Array, fmt: str = "any4", group_size: int = 128,
         # identical numbers to fmt="int4", different word layout
         assert group_size % 128 == 0, \
             "int4p requires group_size a multiple of 128"
-        codes, scales, zeros = quant.group_quantize(w, 4, group_size,
-                                                    symmetric=symmetric)
+        codes, scales, zeros = quant.group_quantize(
+            w, 4, group_size, symmetric=symmetric, int_zeros=int_zeros)
         packed = packing.pack_int4_pair(codes, row_shards)
         lut = None
     elif fmt == "any4":
@@ -160,8 +163,8 @@ def quantize_tensor(w: jax.Array, fmt: str = "any4", group_size: int = 128,
         zeros = jnp.zeros_like(scales)
         lut = jnp.asarray(get_table("mx4"))[None, :]
     elif fmt == "int8":
-        q, scales, zeros = quant.int8_quantize(w, group_size,
-                                               symmetric=symmetric)
+        q, scales, zeros = quant.int8_quantize(
+            w, group_size, symmetric=symmetric, int_zeros=int_zeros)
         packed = packing.pack_int8(q, row_shards)
         lut = None
     elif fmt == "int8p":
@@ -173,8 +176,8 @@ def quantize_tensor(w: jax.Array, fmt: str = "any4", group_size: int = 128,
             "int8p requires group_size a multiple of 128"
         assert row_shards == 1, "int8p does not support row_shards yet"
         assert k % 128 == 0, "int8p requires k a multiple of 128"
-        q, scales, zeros = quant.int8_quantize(w, group_size,
-                                               symmetric=symmetric)
+        q, scales, zeros = quant.int8_quantize(
+            w, group_size, symmetric=symmetric, int_zeros=int_zeros)
         u = (q.astype(jnp.int32) + 128).astype(jnp.uint8)
         G = k // 128
         u = u.reshape(n, G, 128)

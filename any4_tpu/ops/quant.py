@@ -40,7 +40,7 @@ def _group_view(w: jax.Array, group_size: int) -> jax.Array:
 
 
 def group_quantize(w: jax.Array, n_bit: int = 4, group_size: int = 128,
-                   symmetric: bool = False):
+                   symmetric: bool = False, int_zeros: bool = False):
     """Per-group uniform quantization, asymmetric by default.
 
     Returns ``(codes, scales, zeros)`` with ``codes`` uint8 in ``[0, 2^n-1]``
@@ -50,6 +50,14 @@ def group_quantize(w: jax.Array, n_bit: int = 4, group_size: int = 128,
     ``symmetric=True`` is the reference's ``scale_only``/``assymetric=False``
     branch (quantize.py:133-141): ``scales = absmax / (2^(n-1)-1)``,
     ``zeros = 0`` (wastes the code ``0`` slot, same as the reference).
+
+    ``int_zeros=True`` is the reference's ``new_grouping`` / ``group_q1``
+    variant (quantize.py:267-314): the zero-point is a *rounded integer*
+    ``zq = clip(round(-min/scale), 0, 2^n-1)`` and elements quantize as
+    ``clip(round(w/scale) + zq)`` with reconstruction ``(code - zq) * scale``
+    -- returned here folded into the standard convention as
+    ``zeros = (2^(n-1) - zq) * scale`` so the same kernels/dequantizers
+    apply unchanged.
     """
     wg = _group_view(w.astype(jnp.float32), group_size)
     half = 2 ** (n_bit - 1)
@@ -58,6 +66,14 @@ def group_quantize(w: jax.Array, n_bit: int = 4, group_size: int = 128,
         scales = jnp.maximum(absmax, SCALE_EPS) / (half - 1)
         zeros = jnp.zeros_like(scales)
         codes = jnp.clip(jnp.round(wg / scales) + half, 0, 2 ** n_bit - 1)
+    elif int_zeros:
+        max_val = wg.max(axis=-1, keepdims=True)
+        min_val = wg.min(axis=-1, keepdims=True)
+        max_int = 2**n_bit - 1
+        scales = jnp.maximum(max_val - min_val, SCALE_EPS) / max_int
+        zq = jnp.clip(jnp.round(-min_val / scales), 0, max_int)
+        codes = jnp.clip(jnp.round(wg / scales) + zq, 0, max_int)
+        zeros = (half - zq) * scales
     else:
         max_val = wg.max(axis=-1, keepdims=True)
         min_val = wg.min(axis=-1, keepdims=True)
@@ -235,9 +251,10 @@ def mx4_scales(exponents: jax.Array) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 def int8_quantize(w: jax.Array, group_size: int = 128,
-                  symmetric: bool = False):
+                  symmetric: bool = False, int_zeros: bool = False):
     codes, scales, zeros = group_quantize(w, n_bit=8, group_size=group_size,
-                                          symmetric=symmetric)
+                                          symmetric=symmetric,
+                                          int_zeros=int_zeros)
     # store centered codes in int8 (code - 128 in [-128, 127])
     return (codes.astype(jnp.int32) - 128).astype(jnp.int8), scales, zeros
 

@@ -33,6 +33,11 @@ def main(argv=None):
     p.add_argument("--load-awq", default=None,
                    help="apply a saved AWQ artifact instead of searching "
                         "(reference --load_awq)")
+    p.add_argument("--quantize-args", default="",
+                   help="extra k=v args for the quantizer (e.g. "
+                        "int_zeros=True for the reference's new_grouping/"
+                        "group_q1 rounded-integer zero points, "
+                        "scale_only=True for symmetric)")
     p.add_argument("--row-parallel-shards", type=int, default=1,
                    help="pack k as N shards for row-parallel TP")
     p.add_argument("--output", required=True)
@@ -98,9 +103,10 @@ def main(argv=None):
         sample_weight = cal.calibrate(params, cfg, ids)
         print(f"calibration done in {time.time() - t0:.1f}s")
 
-    kw = {}
+    from cli_eval import parse_kv_args
+    kw = parse_kv_args(args.quantize_args)
     if args.fmt == "any4":
-        kw = dict(kmeans_iters=args.kmeans_iters,
+        kw.update(kmeans_iters=args.kmeans_iters,
                   scale_sample_weight=args.scale_sample_weight)
     t0 = time.time()
     qparams = api.quantize_model(

@@ -82,6 +82,48 @@ class TestGroupQuant:
         np.testing.assert_allclose(np.asarray(w2), np.asarray(w),
                                    rtol=1e-5, atol=1e-7)
 
+    @pytest.mark.parametrize("n_bit", [4, 8])
+    def test_int_zeros_group_q1_semantics(self, n_bit):
+        # int_zeros=True is the reference's new_grouping/group_q1 variant
+        # (quantize.py:267-314): zq = clip(round(-min/s), 0, 2^n-1),
+        # codes = clip(round(w/s) + zq), recon = (code - zq) * s. Verify
+        # against a direct transcription of that formula.
+        g = 64
+        w = jax.random.normal(jax.random.PRNGKey(5), (8, 256))
+        codes, scales, zeros = quant.group_quantize(
+            w, n_bit, g, int_zeros=True)
+        wg = np.asarray(w, np.float64).reshape(8, 256 // g, g)
+        max_int = 2**n_bit - 1
+        s = np.maximum(wg.max(-1) - wg.min(-1), 1e-6) / max_int
+        zq = np.clip(np.round(-wg.min(-1) / s), 0, max_int)
+        ref_codes = np.clip(
+            np.round(wg / s[..., None]) + zq[..., None], 0, max_int)
+        np.testing.assert_array_equal(
+            np.asarray(codes).reshape(8, 256 // g, g), ref_codes)
+        # zeros fold the integer zero-point into the standard convention:
+        # (code - 2^(n-1)) * s + zeros == (code - zq) * s
+        rec = quant.group_dequantize(codes, scales, zeros, n_bit, g)
+        ref_rec = (ref_codes - zq[..., None]) * s[..., None]
+        np.testing.assert_allclose(np.asarray(rec, np.float64),
+                                   ref_rec.reshape(8, 256), rtol=1e-5,
+                                   atol=1e-6)
+
+    def test_int_zeros_flows_through_quantize_tensor(self):
+        from any4_tpu.ops import linear as lin
+        w = np.asarray(
+            jax.random.normal(jax.random.PRNGKey(6), (16, 256)))
+        qt = lin.quantize_tensor(w, "int4", group_size=128, int_zeros=True)
+        # every zero must be an integer multiple of its scale away from
+        # the standard half-range offset: zeros = (8 - zq) * s, zq integer
+        nrows = w.shape[1] // 128  # valid (unpadded) scale rows
+        ratio = (np.asarray(qt.zeros)[:nrows]
+                 / np.asarray(qt.scales)[:nrows])
+        np.testing.assert_allclose(ratio, np.round(ratio), atol=1e-4)
+        wd = lin.dequantize_tensor(qt, dtype=jnp.float32)
+        assert float(jnp.abs(wd - w).max()) < 0.5  # sane reconstruction
+        with pytest.raises(AssertionError):
+            lin.quantize_tensor(w, "any4", group_size=128, int_zeros=True)
+
     def test_scale_only_flows_through_quantize_tensor(self):
         from any4_tpu.ops import linear as lin
         w = jax.random.normal(jax.random.PRNGKey(4), (16, 256))
