@@ -109,7 +109,8 @@ def quantize_tensor(w: jax.Array, fmt: str = "any4", group_size: int = 128,
         group_size = k
     host_input = isinstance(w, _np.ndarray)
     int_zeros = bool(kwargs.pop("int_zeros", False))
-    assert not int_zeros or fmt in ("int4", "int4p", "int8", "int8p"), \
+    assert not int_zeros or fmt in ("int4", "int4p", "int8", "int8p",
+                                    "w4a8", "w8a8"), \
         f"int_zeros (group_q1/new_grouping) applies to int formats, not {fmt!r}"
     if fmt == "int4" and host_input and k % group_size == 0 and not int_zeros:
         # host-side (checkpoint-conversion) fast path: the C++/OpenMP data
@@ -130,12 +131,34 @@ def quantize_tensor(w: jax.Array, fmt: str = "any4", group_size: int = 128,
     if host_input:
         w = jnp.asarray(w)
     symmetric = bool(kwargs.pop("scale_only", False))
-    assert not symmetric or fmt in ("int4", "int4p", "int8", "int8p"), \
+    assert not symmetric or fmt in ("int4", "int4p", "int8", "int8p",
+                                    "w4a8", "w8a8"), \
         f"scale_only (symmetric) applies to int formats, not {fmt!r}"
     if fmt == "int4":
         codes, scales, zeros = quant.group_quantize(
             w, 4, group_size, symmetric=symmetric, int_zeros=int_zeros)
         packed = packing.pack_int4(codes, row_shards)
+        lut = None
+    elif fmt == "w4a8":
+        # int4 weights (same codes/scales as fmt="int4") quad-packed for
+        # the int8-MXU kernel; activations are quantized per row to int8
+        # at matmul time (ops.linear.quantize_activations) -- the
+        # throughput play on top of int4's memory win
+        assert group_size % 128 == 0, \
+            "w4a8 requires group_size a multiple of 128"
+        assert n % 4 == 0, "w4a8 quad packing requires n % 4 == 0"
+        codes, scales, zeros = quant.group_quantize(
+            w, 4, group_size, symmetric=symmetric, int_zeros=int_zeros)
+        packed = packing.pack_int4_quad(codes, row_shards)
+        lut = None
+    elif fmt == "w8a8":
+        # centered int8 codes ARE the kernel operand (no unpack); the
+        # int8-MXU kernel computes q-dots with post-dot (s, z) affines
+        assert group_size % 128 == 0, \
+            "w8a8 requires group_size a multiple of 128"
+        q, scales, zeros = quant.int8_quantize(
+            w, group_size, symmetric=symmetric, int_zeros=int_zeros)
+        packed = packing.pack_int8(q, row_shards)
         lut = None
     elif fmt == "int4p":
         # pair-packed int4 for the magic-number (gather-free) kernel;
@@ -216,7 +239,7 @@ def dequantize_tensor(qt: QuantizedTensor, dtype=None) -> jax.Array:
         S = qt.row_shards
         n, k = qt.shape
         denom = 8 if qt.fmt in _NIBBLE_FMTS else \
-            4 if qt.fmt == "int4p" else 1
+            4 if qt.fmt == "int4p" else 2 if qt.fmt == "w4a8" else 1
         shard_words = packing.padded_k(k // S) // denom
         if qt.packed.shape[1] == shard_words:
             # live leaf holds ONE k-shard (inside shard_map the static
@@ -239,7 +262,8 @@ def dequantize_tensor(qt: QuantizedTensor, dtype=None) -> jax.Array:
     n, k = qt.shape
     dtype = dtype or qt.dtype
     kp = qt.packed.shape[1] * (8 if qt.fmt in _NIBBLE_FMTS else
-                               4 if qt.fmt in ("int4p", "int8p") else 1)
+                               4 if qt.fmt in ("int4p", "int8p") else
+                               2 if qt.fmt == "w4a8" else 1)
     g = qt.group_size
     if qt.fmt == "int8p":
         # split-byte layout: de-interleave nibble planes, reassemble bytes
@@ -254,14 +278,16 @@ def dequantize_tensor(qt: QuantizedTensor, dtype=None) -> jax.Array:
         w = q * jnp.repeat(s128, 128, axis=1) \
             + jnp.repeat(z128, 128, axis=1)
         return w[:, :k].astype(dtype)
-    if qt.fmt == "int8":
+    if qt.fmt in ("int8", "w8a8"):
         q = qt.packed.astype(jnp.float32)
     else:
         if qt.fmt == "int4p":
             codes = packing.unpack_int4_pair(qt.packed, kp).astype(jnp.int32)
+        elif qt.fmt == "w4a8":
+            codes = packing.unpack_int4_quad(qt.packed, kp).astype(jnp.int32)
         else:
             codes = packing.unpack_int4(qt.packed, kp).astype(jnp.int32)
-        if qt.fmt in ("int4", "int4p"):
+        if qt.fmt in ("int4", "int4p", "w4a8"):
             q = (codes - 8).astype(jnp.float32)
         else:
             # LUT lookup as 16 fused compare-selects: an XLA gather here
@@ -278,6 +304,20 @@ def dequantize_tensor(qt: QuantizedTensor, dtype=None) -> jax.Array:
     zeros = jnp.repeat(qt.zeros.T, g, axis=1)[:, :kp]
     w = q * scales + zeros
     return w[:, :k].astype(dtype)
+
+
+def quantize_activations(x: jax.Array, eps: float = 1e-8):
+    """Per-row absmax int8 activation quantization for the w4a8/w8a8
+    int8-MXU kernels: ``x ~= xq * sx`` with ``xq`` int8 in [-127, 127] and
+    ``sx = absmax/127`` per leading row. Under row-parallel TP each shard
+    quantizes its local k-slice independently (a finer-grained, equally
+    valid activation grouping -- each shard's partial is scaled by its own
+    ``sx`` before the psum). Returns ``(xq int8, sx f32[..., 1])``."""
+    xf = x.astype(jnp.float32)
+    sx = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True),
+                     eps) / 127.0
+    xq = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
+    return xq, sx
 
 
 def _kernel_fmt(fmt: str, lut: Optional[jax.Array] = None) -> str:
@@ -331,13 +371,29 @@ def linear(x: jax.Array, w, bias: Optional[jax.Array] = None, *,
                 xq = jnp.repeat(xr, 2, axis=-2).reshape(*lead, 2 * k_log)
                 gs = 128  # plane-granular scales on the doubled axis
             n_local = w.packed.shape[0] * (
-                2 if w.fmt in ("int4p", "int8p") else 1)
-            y = gemv.quantized_matmul(
-                xq, w.packed, w.scales, w.zeros, w.lut,
-                fmt=_kernel_fmt(w.fmt, w.lut), group_size=gs,
-                n=n_local, block_n=block_n, out_dtype=x.dtype,
-                use_gather=use_gather, interpret=interpret, k_chunk=k_chunk)
+                2 if w.fmt in ("int4p", "int8p") else
+                4 if w.fmt == "w4a8" else 1)
+            if w.fmt in ("w4a8", "w8a8"):
+                xq, sx = quantize_activations(xq)
+                y = gemv.quantized_matmul(
+                    xq, w.packed, w.scales, w.zeros, w.lut,
+                    fmt=w.fmt, group_size=gs, n=n_local, block_n=block_n,
+                    out_dtype=jnp.float32, interpret=interpret,
+                    k_chunk=k_chunk)
+                y = (y * sx).astype(x.dtype)
+            else:
+                y = gemv.quantized_matmul(
+                    xq, w.packed, w.scales, w.zeros, w.lut,
+                    fmt=_kernel_fmt(w.fmt, w.lut), group_size=gs,
+                    n=n_local, block_n=block_n, out_dtype=x.dtype,
+                    use_gather=use_gather, interpret=interpret,
+                    k_chunk=k_chunk)
         else:
+            if w.fmt in ("w4a8", "w8a8"):
+                # keep prefill/decode numerics consistent: the large-m
+                # path sees the same int8-quantized activations
+                xq, sx = quantize_activations(x)
+                x = (xq.astype(jnp.float32) * sx).astype(x.dtype)
             wd = dequantize_tensor(w, dtype=x.dtype)
             y = jnp.einsum("...k,nk->...n", x, wd)
     if bias is not None:

@@ -163,6 +163,55 @@ def unpack_int4_pair(packed: jax.Array, k: int, shards: int = 1
     return c.reshape(nh * 2, kp)[:, :k].astype(jnp.uint8)
 
 
+def pack_int4_quad(codes: jax.Array, shards: int = 1) -> jax.Array:
+    """Quad-packed layout for the int8-MXU w4a8 kernel: FOUR output rows
+    per int32 word, ``[n/4, k_padded/2]``.
+
+    ``word[rq, kb*128 + l]`` bit-field ``[8b + 4p, +4)`` holds
+    ``codes[4*rq + b, kb*256 + p*128 + l]``: each byte ``b`` is one output
+    row and its two nibbles ``p`` are two consecutive 128-wide k-slices
+    (= two g>=128 quant sub-groups). The kernel extracts a whole
+    ``[bn, 128]`` int8 code tile with ONE mask (+ optional shift) and ONE
+    int32->int8 bitcast (which splits a word row onto 4 sublanes, matching
+    byte order), then feeds the int8 MXU directly -- ~3x fewer VPU ops per
+    code than the bf16 magic-number pair path. ``n`` must be divisible by 4.
+    """
+    n, k = codes.shape
+    assert n % 4 == 0, f"quad packing needs n % 4 == 0, got {n}"
+    if shards > 1:
+        assert k % shards == 0
+        parts = [pack_int4_quad(
+            codes[:, s * (k // shards):(s + 1) * (k // shards)])
+            for s in range(shards)]
+        return jnp.concatenate(parts, axis=1)
+    kp = padded_k(k)
+    c = pad_axis(codes.astype(jnp.uint32), 1, kp)
+    c = c.reshape(n // 4, 4, kp // 256, 2, 128)
+    sh = (8 * jnp.arange(4, dtype=jnp.uint32))[None, :, None, None, None] \
+        + (4 * jnp.arange(2, dtype=jnp.uint32))[None, None, None, :, None]
+    words = jnp.sum(c << sh, axis=(1, 3), dtype=jnp.uint32)
+    return words.astype(jnp.int32).reshape(n // 4, kp // 2)
+
+
+def unpack_int4_quad(packed: jax.Array, k: int, shards: int = 1
+                     ) -> jax.Array:
+    """Inverse of :func:`pack_int4_quad`; returns uint8 codes ``[n, k]``."""
+    if shards > 1:
+        nq, kw = packed.shape
+        per = kw // shards
+        parts = [unpack_int4_quad(packed[:, s * per:(s + 1) * per],
+                                  k // shards)
+                 for s in range(shards)]
+        return jnp.concatenate(parts, axis=1)
+    nq, kw = packed.shape
+    kp = kw * 2
+    words = packed.reshape(nq, 1, kp // 256, 1, 128).astype(jnp.uint32)
+    sh = (8 * jnp.arange(4, dtype=jnp.uint32))[None, :, None, None, None] \
+        + (4 * jnp.arange(2, dtype=jnp.uint32))[None, None, None, :, None]
+    c = (words >> sh) & 0xF                        # [n/4, 4, kb, 2, 128]
+    return c.reshape(nq * 4, kp)[:, :k].astype(jnp.uint8)
+
+
 def pack_int8(q: jax.Array, shards: int = 1) -> jax.Array:
     """int8 weights need no nibble packing on TPU (int8 is a native tile
     dtype); this just zero-pads k to the kernel block size (row-major

@@ -207,6 +207,89 @@ def _q4pair_kernel(x_ref, w_ref, s_ref, z_ref, o_ref, acc_ref, *,
         o_ref[:] = acc_ref[:].astype(o_ref.dtype)
 
 
+def _w4a8_kernel(x_ref, w_ref, s_ref, z_ref, o_ref, acc_ref, *,
+                 bn: int, nk: int, kbs: int):
+    """Quad-packed int4 weights x int8 activations on the int8 MXU
+    (fmt="w4a8", packing.pack_int4_quad): FOUR output rows per int32 word;
+    ``w & 0x0F0F0F0F`` / ``(w >> 4) & 0x0F0F0F0F`` bitcast to int8 yield a
+    whole ``[bn, 128]`` code tile in 1-2 VPU ops + a bitcast (~3x fewer
+    vector ops per code than the bf16 pair path), and the dot runs
+    int8 x int8 -> int32 on the MXU's double int8 rate (production-shaped
+    int8 dots validated exact on hardware, benchmarks/probe_int8_dot2.json;
+    device-time comparison: tools/validate_w4a8.py). Weight codes/scales
+    are identical to
+    fmt="int4"; activations are per-row absmax-int8 (the caller divides by
+    127/absmax and multiplies the f32 output back -- see ops.linear).
+    Per 128-wide group: ``y += P*s + sum(x_g)*(z - 8s)`` with P the int32
+    code dot -- exact integer arithmetic inside, one f32 FMA per group."""
+    kc = pl.program_id(1)
+
+    @pl.when(kc == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    xq = x_ref[:]                       # [mp, kbs*1024] int8
+    w = w_ref[:]                        # [bn//4, kbs*512] int32
+    acc = acc_ref[:]
+    for b in range(kbs * 4):            # 256-k word blocks
+        wb = w[:, b * 128:(b + 1) * 128]
+        for p in range(2):
+            g = b * 2 + p               # 128-wide scale row index
+            t = (wb if p == 0 else
+                 jax.lax.shift_right_logical(wb, 4)) & 0x0F0F0F0F
+            cw = pltpu.bitcast(t, jnp.int8)          # [bn, 128] codes
+            xg = xq[:, g * 128:(g + 1) * 128]
+            part = jax.lax.dot_general(
+                xg, cw, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32)    # [mp, bn]
+            sg = s_ref[g:g + 1, :].astype(jnp.float32)
+            zg = z_ref[g:g + 1, :].astype(jnp.float32)
+            xs = jnp.sum(xg.astype(jnp.int32), axis=1,
+                         keepdims=True).astype(jnp.float32)
+            acc = acc + part.astype(jnp.float32) * sg \
+                + xs * (zg - 8.0 * sg)
+    acc_ref[:] = acc
+
+    @pl.when(kc == nk - 1)
+    def _():
+        o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+
+
+def _w8a8_kernel(x_ref, w_ref, s_ref, z_ref, o_ref, acc_ref, *,
+                 bn: int, nk: int, kbs: int):
+    """int8 weights x int8 activations on the int8 MXU (fmt="w8a8"):
+    zero unpack work -- the packed array IS the centered int8 code matrix
+    (packing.pack_int8), so each 128-wide group is one int8 dot plus the
+    post-dot affine ``y += P*s + sum(x_g)*z`` (reconstruction q*s + z).
+    The bf16-dequant int8 kernel (_int8_kernel) measured 0.56x bf16; this
+    path rides the 2x int8 MXU rate instead."""
+    kc = pl.program_id(1)
+
+    @pl.when(kc == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    xq = x_ref[:]                       # [mp, kbs*1024] int8
+    w = w_ref[:]                        # [bn, kbs*1024] int8
+    acc = acc_ref[:]
+    for g in range(kbs * 8):            # 128-wide groups
+        wg = w[:, g * 128:(g + 1) * 128]
+        xg = xq[:, g * 128:(g + 1) * 128]
+        part = jax.lax.dot_general(
+            xg, wg, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32)        # [mp, bn]
+        sg = s_ref[g:g + 1, :].astype(jnp.float32)
+        zg = z_ref[g:g + 1, :].astype(jnp.float32)
+        xs = jnp.sum(xg.astype(jnp.int32), axis=1,
+                     keepdims=True).astype(jnp.float32)
+        acc = acc + part.astype(jnp.float32) * sg + xs * zg
+    acc_ref[:] = acc
+
+    @pl.when(kc == nk - 1)
+    def _():
+        o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+
+
 def _int8_kernel(x_ref, w_ref, s_ref, z_ref, o_ref, acc_ref, *,
                  group_size: int, bn: int, nk: int, kbs: int):
     kc = pl.program_id(1)
@@ -273,12 +356,16 @@ def quantized_matmul_padded(
 ) -> jax.Array:
     """Core padded kernel launch; returns ``y [mp, n]``. Use
     :func:`quantized_matmul` for the padding-aware entry point."""
-    if fmt == "int8":
+    if fmt in ("int8", "w8a8"):
         # int8 blocks are 8x larger than packed-int4 at the same block_n;
         # bn=1024 overflows the 16MB VMEM budget (measured on v5e)
         block_n = min(block_n, 512)
     mp, kp = x.shape
-    np_ = packed.shape[0] * (2 if fmt == "int4p" else 1)
+    np_ = packed.shape[0] * (2 if fmt == "int4p" else
+                             4 if fmt == "w4a8" else 1)
+    if fmt in ("w4a8", "w8a8"):
+        assert x.dtype == jnp.int8, \
+            f"{fmt} takes pre-quantized int8 activations, got {x.dtype}"
     assert kp % PACK_BLOCK == 0 and (mp <= 16 or mp % 16 == 0)
     assert np_ % block_n == 0
     nkb = kp // PACK_BLOCK
@@ -286,7 +373,7 @@ def quantized_matmul_padded(
         assert nkb % k_chunk == 0, \
             f"k_chunk {k_chunk} must divide {nkb} pack blocks"
         kbs = k_chunk
-    elif fmt == "int4p":
+    elif fmt in ("int4p", "w4a8", "w8a8"):
         # chain-timed sweep (tools/tune_chain.py, benchmarks/
         # tune_chain_int4p_r2.json): kbs=4 consistently ~6% faster than 2
         kbs = 4 if nkb % 4 == 0 else 2 if nkb % 2 == 0 else 1
@@ -294,7 +381,7 @@ def quantized_matmul_padded(
         kbs = 2 if nkb % 2 == 0 else 1   # k-blocks fused per grid step
     nk = nkb // kbs
     nb = np_ // block_n
-    kw = LANES if fmt != "int8" else PACK_BLOCK
+    kw = LANES if fmt not in ("int8", "w8a8") else PACK_BLOCK
 
     sz = _expand_plane_scales(scales_t, group_size)
     zz = _expand_plane_scales(zeros_t, group_size)
@@ -303,11 +390,17 @@ def quantized_matmul_padded(
         f"group_size {group_size} < 16 unsupported by the fused-table kernel"
     rows = kbs * PACK_BLOCK // g_eff  # scale rows per grid step
 
-    wspec = pl.BlockSpec((block_n // 2, kbs * PACK_BLOCK // 4),
-                         lambda i, kc: (i, kc),
-                         memory_space=pltpu.VMEM) if fmt == "int4p" else \
-        pl.BlockSpec((block_n, kbs * kw), lambda i, kc: (i, kc),
-                     memory_space=pltpu.VMEM)
+    if fmt == "int4p":
+        wspec = pl.BlockSpec((block_n // 2, kbs * PACK_BLOCK // 4),
+                             lambda i, kc: (i, kc),
+                             memory_space=pltpu.VMEM)
+    elif fmt == "w4a8":
+        wspec = pl.BlockSpec((block_n // 4, kbs * PACK_BLOCK // 2),
+                             lambda i, kc: (i, kc),
+                             memory_space=pltpu.VMEM)
+    else:
+        wspec = pl.BlockSpec((block_n, kbs * kw), lambda i, kc: (i, kc),
+                             memory_space=pltpu.VMEM)
     in_specs = [
         pl.BlockSpec((mp, kbs * PACK_BLOCK), lambda i, kc: (0, kc),
                      memory_space=pltpu.VMEM),
@@ -324,6 +417,16 @@ def quantized_matmul_padded(
             "scales for the post-dot affine)"
         assert block_n % 2 == 0
         kern = functools.partial(_q4pair_kernel, bn=block_n, nk=nk, kbs=kbs)
+    elif fmt == "w4a8":
+        assert group_size % LANES == 0, \
+            "w4a8 needs group_size a multiple of 128 (plane-constant " \
+            "scales for the post-dot affine)"
+        assert block_n % 4 == 0
+        kern = functools.partial(_w4a8_kernel, bn=block_n, nk=nk, kbs=kbs)
+    elif fmt == "w8a8":
+        assert group_size % LANES == 0, \
+            "w8a8 needs group_size a multiple of 128"
+        kern = functools.partial(_w8a8_kernel, bn=block_n, nk=nk, kbs=kbs)
     elif fmt in ("any4", "lut4", "int4"):
         if fmt == "any4":
             in_specs.append(pl.BlockSpec((block_n, 16), lambda i, kc: (i, 0),
@@ -403,10 +506,17 @@ def quantized_matmul(
     interpret = interpret or jax.default_backend() == "cpu"
 
     orig_shape = x.shape
-    x2 = x.reshape(-1, orig_shape[-1]).astype(jnp.bfloat16)
+    if fmt in ("w4a8", "w8a8"):
+        assert x.dtype == jnp.int8, \
+            f"{fmt} takes pre-quantized int8 activations (see " \
+            f"ops.linear.quantize_activations), got {x.dtype}"
+        x2 = x.reshape(-1, orig_shape[-1])
+    else:
+        x2 = x.reshape(-1, orig_shape[-1]).astype(jnp.bfloat16)
     m, k = x2.shape
-    rows_per_word = 2 if fmt == "int4p" else 1
-    word_k = 4 if fmt == "int4p" else (PLANES if fmt != "int8" else 1)
+    rows_per_word = 2 if fmt == "int4p" else 4 if fmt == "w4a8" else 1
+    word_k = 4 if fmt == "int4p" else 2 if fmt == "w4a8" else \
+        (PLANES if fmt not in ("int8", "w8a8") else 1)
     np_full = packed.shape[0] * rows_per_word
     n = np_full if n is None else n
     kp = packed.shape[1] * word_k

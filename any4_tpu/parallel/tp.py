@@ -146,6 +146,12 @@ def _interleave_rows(leaf, sizes, tp: int):
                 all((sz // tp) % 2 == 0 for sz in sizes), \
                 "pair-packed fused reshard needs even per-shard chunks"
             packed_order = order[0::2] // 2
+        elif leaf.fmt == "w4a8":
+            # quad-packed words hold FOUR output rows
+            assert (offs % 4 == 0).all() and \
+                all((sz // tp) % 4 == 0 for sz in sizes), \
+                "quad-packed fused reshard needs per-shard chunks % 4 == 0"
+            packed_order = order[0::4] // 4
         return dataclasses.replace(
             leaf, packed=leaf.packed[packed_order],
             scales=leaf.scales[:, order],

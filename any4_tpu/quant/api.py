@@ -187,6 +187,11 @@ quant_methods = {
     "int4p": functools.partial(quantize_model, fmt="int4p"),
     "int8": functools.partial(quantize_model, fmt="int8"),
     "int8p": functools.partial(quantize_model, fmt="int8p"),
+    # int8-MXU formats: int4/int8 weights with per-row int8 activations
+    # (the TPU throughput play; no reference analog -- the reference's
+    # tinygemm is weight-only)
+    "w4a8": functools.partial(quantize_model, fmt="w4a8"),
+    "w8a8": functools.partial(quantize_model, fmt="w8a8"),
     "intq": functools.partial(quantize_model, fmt="intq"),
     "any4": functools.partial(quantize_model, fmt="any4"),
     "anyq": functools.partial(quantize_model, fmt="anyq"),

@@ -306,6 +306,139 @@ class TestInt8Pair:
         assert qb.packed.size * 4 == qa.packed.size  # int32 words vs int8
 
 
+class TestW4A8:
+    """Quad-packed int4 weights x int8 activations on the int8 MXU
+    (fmt='w4a8'): same weight numbers as int4; activations per-row
+    absmax-int8. No reference analog (tinygemm is weight-only); the
+    integer dot inside the kernel is exact, so the kernel must match a
+    float64 emulation of the same integer math to f32-accumulation
+    tolerance."""
+
+    def test_pack_roundtrip(self):
+        codes = jax.random.randint(jax.random.PRNGKey(80), (32, 1536),
+                                   0, 16).astype(jnp.uint8)
+        packed = packing.pack_int4_quad(codes)
+        assert packed.shape == (8, 2048 // 2)
+        out = packing.unpack_int4_quad(packed, 1536)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(codes))
+
+    def test_pack_roundtrip_sharded(self):
+        codes = jax.random.randint(jax.random.PRNGKey(81), (8, 1024),
+                                   0, 16).astype(jnp.uint8)
+        packed = packing.pack_int4_quad(codes, shards=2)
+        out = packing.unpack_int4_quad(packed, 1024, shards=2)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(codes))
+
+    def test_dequant_matches_int4(self):
+        w = jax.random.normal(jax.random.PRNGKey(82), (64, 2048))
+        qa = lin.quantize_tensor(w, "int4", group_size=128)
+        qb = lin.quantize_tensor(w, "w4a8", group_size=128)
+        np.testing.assert_array_equal(
+            np.asarray(lin.dequantize_tensor(qa, dtype=jnp.float32)),
+            np.asarray(lin.dequantize_tensor(qb, dtype=jnp.float32)))
+
+    @pytest.mark.parametrize("g", [128, 256])
+    def test_fused_matches_integer_emulation(self, g):
+        n, k = 256, 2048
+        w = jax.random.normal(jax.random.PRNGKey(83), (n, k))
+        qt = lin.quantize_tensor(w, "w4a8", group_size=g)
+        x = jax.random.normal(jax.random.PRNGKey(84), (2, k))
+        y = lin.linear(x, qt, interpret=INTERPRET)
+        # float64 emulation of the kernel's exact integer dot + per-group
+        # f32 affine: y = sx * sum_g [P_g s_g + sum(xq_g) (z_g - 8 s_g)]
+        xq, sx = lin.quantize_activations(x)
+        xq = np.asarray(xq, np.int64)
+        codes = np.asarray(packing.unpack_int4_quad(qt.packed, k),
+                           np.int64)
+        # stored scales are [kp/g, n]; expand to 128-granularity rows
+        # like the kernel does (_expand_plane_scales)
+        s = np.repeat(np.asarray(qt.scales, np.float64).T, g // 128,
+                      axis=1)[:, :k // 128]                    # [n, k/128]
+        z = np.repeat(np.asarray(qt.zeros, np.float64).T, g // 128,
+                      axis=1)[:, :k // 128]
+        ref = np.zeros((2, n))
+        for gi in range(k // 128):
+            sl = slice(gi * 128, (gi + 1) * 128)
+            P = xq[:, sl] @ codes[:, sl].T
+            xs = xq[:, sl].sum(axis=1, keepdims=True)
+            ref += P * s[None, :, gi] + xs * (z - 8.0 * s)[None, :, gi]
+        ref = ref * np.asarray(sx, np.float64)
+        _assert_close(np.asarray(y, np.float32), ref, tol=1e-4)
+
+    def test_linear_matches_fakequant(self):
+        # end-to-end tolerance vs dequantized weights + fake-quantized
+        # activations (the semantics the format promises)
+        n, k = 128, 1024
+        w = jax.random.normal(jax.random.PRNGKey(85), (n, k))
+        qt = lin.quantize_tensor(w, "w4a8", group_size=128)
+        x = jax.random.normal(jax.random.PRNGKey(86), (3, k))
+        y = lin.linear(x, qt, interpret=INTERPRET)
+        xq, sx = lin.quantize_activations(x)
+        xd = np.asarray(xq, np.float32) * np.asarray(sx, np.float32)
+        wd = np.asarray(lin.dequantize_tensor(qt, dtype=jnp.float32))
+        _assert_close(np.asarray(y, np.float32), xd @ wd.T, tol=1e-3)
+
+    def test_prefill_path_consistent(self):
+        # the large-m (dequant-matmul) path quantizes activations the
+        # same way, so prefill and decode agree to matmul tolerance
+        n, k = 128, 1024
+        w = jax.random.normal(jax.random.PRNGKey(87), (n, k))
+        qt = lin.quantize_tensor(w, "w4a8", group_size=128)
+        x = jax.random.normal(jax.random.PRNGKey(88), (4, k))
+        y_fused = lin.linear(x, qt, interpret=INTERPRET)
+        y_prefill = lin.linear(x, qt, fused_m_max=0, interpret=INTERPRET)
+        _assert_close(np.asarray(y_fused, np.float32),
+                      np.asarray(y_prefill, np.float32), tol=5e-3)
+
+    def test_row_sharded(self):
+        n, k = 64, 2048
+        w = jax.random.normal(jax.random.PRNGKey(89), (n, k))
+        qt = lin.quantize_tensor(w, "w4a8", group_size=128, row_shards=2)
+        x = jax.random.normal(jax.random.PRNGKey(90), (1, k))
+        y = lin.linear(x, qt, interpret=INTERPRET)
+        q0 = lin.quantize_tensor(w, "w4a8", group_size=128)
+        y0 = lin.linear(x, q0, interpret=INTERPRET)
+        _assert_close(np.asarray(y, np.float32),
+                      np.asarray(y0, np.float32), tol=1e-3)
+
+
+class TestW8A8:
+    """int8 weights x int8 activations (fmt='w8a8'): the packed array IS
+    the centered int8 code matrix; one int8 MXU dot per 128-group."""
+
+    def test_dequant_matches_int8(self):
+        w = jax.random.normal(jax.random.PRNGKey(91), (32, 1024))
+        qa = lin.quantize_tensor(w, "int8", group_size=128)
+        qb = lin.quantize_tensor(w, "w8a8", group_size=128)
+        np.testing.assert_array_equal(
+            np.asarray(lin.dequantize_tensor(qa, dtype=jnp.float32)),
+            np.asarray(lin.dequantize_tensor(qb, dtype=jnp.float32)))
+
+    @pytest.mark.parametrize("g", [128, 256])
+    def test_linear_matches_fakequant(self, g):
+        n, k = 128, 1024
+        w = jax.random.normal(jax.random.PRNGKey(92), (n, k))
+        qt = lin.quantize_tensor(w, "w8a8", group_size=g)
+        x = jax.random.normal(jax.random.PRNGKey(93), (2, k))
+        y = lin.linear(x, qt, interpret=INTERPRET)
+        xq, sx = lin.quantize_activations(x)
+        xd = np.asarray(xq, np.float32) * np.asarray(sx, np.float32)
+        wd = np.asarray(lin.dequantize_tensor(qt, dtype=jnp.float32))
+        _assert_close(np.asarray(y, np.float32), xd @ wd.T, tol=1e-3)
+
+    def test_n_k_padding(self):
+        n, k = 130, 1408
+        w = jax.random.normal(jax.random.PRNGKey(94), (n, k))
+        qt = lin.quantize_tensor(w, "w8a8", group_size=128)
+        x = jax.random.normal(jax.random.PRNGKey(95), (1, k))
+        y = lin.linear(x, qt, interpret=INTERPRET)
+        assert y.shape == (1, n)
+        xq, sx = lin.quantize_activations(x)
+        xd = np.asarray(xq, np.float32) * np.asarray(sx, np.float32)
+        wd = np.asarray(lin.dequantize_tensor(qt, dtype=jnp.float32))
+        _assert_close(np.asarray(y, np.float32), xd @ wd.T, tol=1e-3)
+
+
 class TestMx4Nan:
     """MX4 e8m0 NaN semantics (reference test_tinygemm_mx4.py:450
     test_nan + quantize_mx4 NaN exponent storage, utils.py:137-191)."""
