@@ -232,6 +232,56 @@ class TestSpecs:
             tp.make_mesh(dp=3, tp=4)
 
 
+class TestW4A8TP:
+    def test_quantized_tp_matches_single_w4a8(self, tiny):
+        """int8-MXU format under full TP: per-shard activation
+        quantization (each row-parallel shard absmax-scales its own
+        k-slice) is a finer grouping than the single-device full-k
+        scaling, so tolerance covers both that and the 4-bit weights.
+        w4a8 needs 128-wide groups, so this uses a wider model than the
+        shared tiny fixture (per-shard k must be a multiple of 128)."""
+        cfg = llama.LlamaConfig(vocab_size=128, hidden_size=512,
+                                intermediate_size=512, num_hidden_layers=1,
+                                num_attention_heads=8,
+                                num_key_value_heads=4, head_dim=64,
+                                tie_word_embeddings=True,
+                                dtype=jnp.float32)
+        params = llama.init_params(cfg, jax.random.PRNGKey(39))
+        qparams = api.quantize_model(params, fmt="w4a8", group_size=128,
+                                     row_parallel_shards=4)
+        mesh = tp.make_mesh(dp=2, tp=4)
+        sharded, specs = tp.shard_params(qparams, mesh)
+        fwd = tp.make_tp_forward(cfg, mesh, specs)
+        ids = jax.random.randint(jax.random.PRNGKey(40), (2, 8), 0,
+                                 cfg.vocab_size)
+        ref, _ = llama.forward(qparams, cfg, ids, interpret=True)
+        out = fwd(sharded, ids)
+        np.testing.assert_allclose(np.asarray(out, np.float32),
+                                   np.asarray(ref, np.float32),
+                                   atol=8e-2, rtol=8e-2)
+
+    def test_interleave_rows_w4a8(self):
+        """Fused quad-packed weights permute WORD rows (four logical
+        rows each)."""
+        from any4_tpu.models import fuse
+        from any4_tpu.ops import linear as lin
+
+        k = 512
+        wq = jax.random.normal(jax.random.PRNGKey(41), (64, k))
+        wk = jax.random.normal(jax.random.PRNGKey(42), (32, k))
+        parts = [lin.quantize_tensor(w, "w4a8", group_size=128)
+                 for w in (wq, wk)]
+        fused = fuse.concat_quantized(parts)
+        out = tp._interleave_rows(fused, [64, 32], 2)
+        dense = jnp.concatenate(
+            [lin.dequantize_tensor(p, dtype=jnp.float32) for p in parts])
+        order = np.concatenate([np.arange(0, 32), np.arange(64, 80),
+                                np.arange(32, 64), np.arange(80, 96)])
+        np.testing.assert_allclose(
+            np.asarray(lin.dequantize_tensor(out, dtype=jnp.float32)),
+            np.asarray(dense)[order], rtol=1e-6, atol=1e-6)
+
+
 class TestPairPackedReshard:
     def test_interleave_rows_int4p(self):
         """Fused pair-packed weights permute WORD rows (two logical rows
