@@ -7,10 +7,12 @@ bundle* (:class:`QuantizedTensor`) carried inside the model's parameter tree,
 and :func:`linear` is a functional op that dispatches between the fused
 Pallas GEMV kernel (decode, small m) and dequantize-then-XLA-matmul
 (prefill, large m), the analog of the reference's m<=16 kernel validity rule
-(tinygemm_lib/functional.py:10-18).
+(tinygemm_lib/functional.py:10-18). The int8-MXU formats (w4a8/w8a8) never
+dequantize: every m runs the fused kernel, chunked over m at prefill.
 """
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass, field, replace
 from typing import Optional
 
@@ -33,6 +35,10 @@ _NIBBLE_FMTS = ("int4", "any4", "nf4", "fp4", "mx4")
 # at serving bucket sizes (<=512) therefore always takes the fused
 # kernel.
 FUSED_M_MAX = 512
+# m-chunk for int8-MXU (w4a8/w8a8) prefill through the fused kernel: the
+# [m_tile, block_n] f32 VMEM accumulator + int8 x/w blocks stay well
+# inside the ~16 MB VMEM budget at 256 x 1024
+_INT8_M_TILE = 256
 
 
 @jax.tree_util.register_pytree_node_class
@@ -132,8 +138,8 @@ def quantize_tensor(w: jax.Array, fmt: str = "any4", group_size: int = 128,
         w = jnp.asarray(w)
     symmetric = bool(kwargs.pop("scale_only", False))
     assert not symmetric or fmt in ("int4", "int4p", "int8", "int8p",
-                                    "w4a8", "w8a8"), \
-        f"scale_only (symmetric) applies to int formats, not {fmt!r}"
+                                    "w4a8", "w8a8", "any4"), \
+        f"scale_only (symmetric) applies to int/any4 formats, not {fmt!r}"
     if fmt == "int4":
         codes, scales, zeros = quant.group_quantize(
             w, 4, group_size, symmetric=symmetric, int_zeros=int_zeros)
@@ -171,7 +177,8 @@ def quantize_tensor(w: jax.Array, fmt: str = "any4", group_size: int = 128,
         lut = None
     elif fmt == "any4":
         codes, lut01, scales, zeros = anyq.any4_quantize(
-            w, n_bit=4, group_size=group_size, **kwargs)
+            w, n_bit=4, group_size=group_size, scale_only=symmetric,
+            **kwargs)
         packed = packing.pack_int4(codes, row_shards)
         lut = (lut01 - 8.0).astype(jnp.float32)  # centered storage
     elif fmt in ("nf4", "fp4"):
@@ -336,6 +343,25 @@ def _kernel_fmt(fmt: str, lut: Optional[jax.Array] = None) -> str:
     return fmt
 
 
+def _shard_align_x(x: jax.Array, w: QuantizedTensor) -> jax.Array:
+    """Align activations to a multi-shard weight's per-shard k padding.
+
+    A weight packed with ``row_shards=S`` holds S independently padded
+    k-segments; when executing UNsharded (the live leaf carries all S
+    segments) the activation k-axis must be split at logical shard
+    boundaries and zero-padded per segment to match. Inside shard_map the
+    live leaf is a single segment and x is the local k-slice: no-op.
+    """
+    S = w.row_shards
+    if S > 1 and x.shape[-1] == w.shape[1]:
+        kl = w.shape[1] // S
+        kps = packing.padded_k(kl)
+        xs = x.reshape(*x.shape[:-1], S, kl)
+        xs = jnp.pad(xs, [(0, 0)] * (xs.ndim - 1) + [(0, kps - kl)])
+        return xs.reshape(*x.shape[:-1], S * kps)
+    return x
+
+
 def linear(x: jax.Array, w, bias: Optional[jax.Array] = None, *,
            block_n: int = gemv.DEFAULT_BLOCK_N, use_gather: bool = True,
            fused_m_max: int = FUSED_M_MAX, k_chunk: Optional[int] = None,
@@ -347,17 +373,32 @@ def linear(x: jax.Array, w, bias: Optional[jax.Array] = None, *,
         m = 1
         for d in x.shape[:-1]:
             m *= d
-        if m <= fused_m_max:
-            xq = x
-            S = w.row_shards
-            if S > 1 and x.shape[-1] == w.shape[1]:
-                # weight packed as S independently-padded k-shards but
-                # executing unsharded: align x to the per-shard padding
-                kl = w.shape[1] // S
-                kps = packing.padded_k(kl)
-                xs = x.reshape(*x.shape[:-1], S, kl)
-                xs = jnp.pad(xs, [(0, 0)] * (xs.ndim - 1) + [(0, kps - kl)])
-                xq = xs.reshape(*x.shape[:-1], S * kps)
+        if w.fmt in ("w4a8", "w8a8"):
+            # int8-MXU formats run the fused kernel at EVERY m: decode in
+            # one dispatch, prefill chunked over m so the VMEM f32
+            # accumulator block stays within budget. Unlike the bf16
+            # formats there is no dequant fallback -- the packed int8/int4
+            # codes are the MXU operand directly, and int8 dots run at
+            # twice the bf16 MXU rate.
+            xq = _shard_align_x(x, w)
+            xq, sx = quantize_activations(xq)
+            n_local = w.packed.shape[0] * (4 if w.fmt == "w4a8" else 1)
+            mm = functools.partial(
+                gemv.quantized_matmul, packed=w.packed, scales_t=w.scales,
+                zeros_t=w.zeros, lut=None, fmt=w.fmt,
+                group_size=w.group_size, n=n_local, block_n=block_n,
+                out_dtype=jnp.float32, interpret=interpret, k_chunk=k_chunk)
+            if m <= max(fused_m_max, _INT8_M_TILE):
+                y = mm(xq)
+            else:
+                x2 = xq.reshape(-1, xq.shape[-1])
+                y = jnp.concatenate(
+                    [mm(x2[i:i + _INT8_M_TILE])
+                     for i in range(0, m, _INT8_M_TILE)]
+                ).reshape(*xq.shape[:-1], n_local)
+            y = (y * sx).astype(x.dtype)
+        elif m <= fused_m_max:
+            xq = _shard_align_x(x, w)
             # n from the live array, not static metadata: inside shard_map
             # the leaves are local shards while .shape still describes the
             # full logical tensor
@@ -371,29 +412,14 @@ def linear(x: jax.Array, w, bias: Optional[jax.Array] = None, *,
                 xq = jnp.repeat(xr, 2, axis=-2).reshape(*lead, 2 * k_log)
                 gs = 128  # plane-granular scales on the doubled axis
             n_local = w.packed.shape[0] * (
-                2 if w.fmt in ("int4p", "int8p") else
-                4 if w.fmt == "w4a8" else 1)
-            if w.fmt in ("w4a8", "w8a8"):
-                xq, sx = quantize_activations(xq)
-                y = gemv.quantized_matmul(
-                    xq, w.packed, w.scales, w.zeros, w.lut,
-                    fmt=w.fmt, group_size=gs, n=n_local, block_n=block_n,
-                    out_dtype=jnp.float32, interpret=interpret,
-                    k_chunk=k_chunk)
-                y = (y * sx).astype(x.dtype)
-            else:
-                y = gemv.quantized_matmul(
-                    xq, w.packed, w.scales, w.zeros, w.lut,
-                    fmt=_kernel_fmt(w.fmt, w.lut), group_size=gs,
-                    n=n_local, block_n=block_n, out_dtype=x.dtype,
-                    use_gather=use_gather, interpret=interpret,
-                    k_chunk=k_chunk)
+                2 if w.fmt in ("int4p", "int8p") else 1)
+            y = gemv.quantized_matmul(
+                xq, w.packed, w.scales, w.zeros, w.lut,
+                fmt=_kernel_fmt(w.fmt, w.lut), group_size=gs,
+                n=n_local, block_n=block_n, out_dtype=x.dtype,
+                use_gather=use_gather, interpret=interpret,
+                k_chunk=k_chunk)
         else:
-            if w.fmt in ("w4a8", "w8a8"):
-                # keep prefill/decode numerics consistent: the large-m
-                # path sees the same int8-quantized activations
-                xq, sx = quantize_activations(x)
-                x = (xq.astype(jnp.float32) * sx).astype(x.dtype)
             wd = dequantize_tensor(w, dtype=x.dtype)
             y = jnp.einsum("...k,nk->...n", x, wd)
     if bias is not None:

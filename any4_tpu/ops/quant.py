@@ -93,20 +93,31 @@ def group_dequantize(codes: jax.Array, scales: jax.Array, zeros: jax.Array,
     return w.reshape(codes.shape)
 
 
-def group_codes_float(w: jax.Array, n_bit: int = 4, group_size: int = 128):
+def group_codes_float(w: jax.Array, n_bit: int = 4, group_size: int = 128,
+                      symmetric: bool = False):
     """Un-rounded group normalization: ``(w - min) / scale`` in ``[0, 2^n-1]``.
 
     This is the reference's ``group_q`` output before rounding
     (quantize.py:130), the domain in which any4 k-means clusters rows.
+    ``symmetric=True`` is the reference's ``scale_only`` grouping before
+    anyq clustering (quantize.py:542-545 ``assymetric=not scale_only``):
+    ``scales = absmax/(2^(n-1)-1)``, ``zeros = 0``, codes ``w/s + 2^(n-1)``.
     Returns ``(wg_float, scales, zeros)``.
     """
     wg = _group_view(w.astype(jnp.float32), group_size)
-    max_val = wg.max(axis=-1, keepdims=True)
-    min_val = wg.min(axis=-1, keepdims=True)
-    max_int = 2**n_bit - 1
-    scales = jnp.maximum(max_val - min_val, SCALE_EPS) / max_int
-    zeros = min_val + scales * (2 ** (n_bit - 1))
-    wq = (wg - min_val) / scales
+    half = 2 ** (n_bit - 1)
+    if symmetric:
+        absmax = jnp.abs(wg).max(axis=-1, keepdims=True)
+        scales = jnp.maximum(absmax, SCALE_EPS) / (half - 1)
+        zeros = jnp.zeros_like(scales)
+        wq = wg / scales + half
+    else:
+        max_val = wg.max(axis=-1, keepdims=True)
+        min_val = wg.min(axis=-1, keepdims=True)
+        max_int = 2**n_bit - 1
+        scales = jnp.maximum(max_val - min_val, SCALE_EPS) / max_int
+        zeros = min_val + scales * half
+        wq = (wg - min_val) / scales
     return wq.reshape(w.shape), scales[..., 0], zeros[..., 0]
 
 

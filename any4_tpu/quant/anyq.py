@@ -57,6 +57,7 @@ def any4_quantize(
     nnq: bool = False,
     nnq_args: Optional[dict] = None,
     sample_activations=None,
+    scale_only: bool = False,
 ):
     """Quantize a weight matrix ``[n, k]`` to any4.
 
@@ -73,10 +74,12 @@ def any4_quantize(
     if not per_row:
         # single global LUT: cluster the whole matrix as one row over the
         # group-normalized values (reference quantize.py:528-530)
-        wg2, scales, zeros = group_codes_float(w, n_bit, group_size)
+        wg2, scales, zeros = group_codes_float(w, n_bit, group_size,
+                                               symmetric=scale_only)
         wg = wg2.reshape(1, -1)
     else:
-        wg, scales, zeros = group_codes_float(w, n_bit, group_size)
+        wg, scales, zeros = group_codes_float(w, n_bit, group_size,
+                                              symmetric=scale_only)
 
     n, k = wg.shape
 

@@ -378,17 +378,33 @@ class TestW4A8:
         wd = np.asarray(lin.dequantize_tensor(qt, dtype=jnp.float32))
         _assert_close(np.asarray(y, np.float32), xd @ wd.T, tol=1e-3)
 
-    def test_prefill_path_consistent(self):
-        # the large-m (dequant-matmul) path quantizes activations the
-        # same way, so prefill and decode agree to matmul tolerance
-        n, k = 128, 1024
+    def test_prefill_chunked_matches_fakequant(self):
+        # prefill (m > _INT8_M_TILE) runs the SAME fused int8 kernel
+        # chunked over m -- no dequant fallback -- so it must match the
+        # fake-quant reference at every chunk boundary
+        n, k, m = 128, 1024, lin._INT8_M_TILE + 40
         w = jax.random.normal(jax.random.PRNGKey(87), (n, k))
         qt = lin.quantize_tensor(w, "w4a8", group_size=128)
-        x = jax.random.normal(jax.random.PRNGKey(88), (4, k))
-        y_fused = lin.linear(x, qt, interpret=INTERPRET)
-        y_prefill = lin.linear(x, qt, fused_m_max=0, interpret=INTERPRET)
-        _assert_close(np.asarray(y_fused, np.float32),
-                      np.asarray(y_prefill, np.float32), tol=5e-3)
+        x = jax.random.normal(jax.random.PRNGKey(88), (m, k))
+        y = lin.linear(x, qt, interpret=INTERPRET)
+        xq, sx = lin.quantize_activations(x)
+        xd = np.asarray(xq, np.float32) * np.asarray(sx, np.float32)
+        wd = np.asarray(lin.dequantize_tensor(qt, dtype=jnp.float32))
+        _assert_close(np.asarray(y, np.float32), xd @ wd.T, tol=1e-3)
+
+    def test_prefill_3d_batch_shape(self):
+        # lead dims flatten and restore around the chunked kernel path
+        n, k = 128, 1024
+        w = jax.random.normal(jax.random.PRNGKey(96), (n, k))
+        qt = lin.quantize_tensor(w, "w4a8", group_size=128)
+        x = jax.random.normal(jax.random.PRNGKey(97), (2, 160, k))
+        y = lin.linear(x, qt, interpret=INTERPRET)
+        assert y.shape == (2, 160, n)
+        xq, sx = lin.quantize_activations(x)
+        xd = np.asarray(xq, np.float32) * np.asarray(sx, np.float32)
+        wd = np.asarray(lin.dequantize_tensor(qt, dtype=jnp.float32))
+        _assert_close(np.asarray(y, np.float32),
+                      np.einsum("btk,nk->btn", xd, wd), tol=1e-3)
 
     def test_row_sharded(self):
         n, k = 64, 2048

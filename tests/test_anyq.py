@@ -89,3 +89,17 @@ class TestAny4Quantize:
         rec = anyq.any4_reconstruct(w, group_size=128, bias_pow=2.0,
                                     kmeans_iters=20)
         assert float(((rec - w) ** 2).mean()) < 0.1
+
+    def test_scale_only_symmetric_grouping(self):
+        """scale_only=True clusters over symmetric group codes
+        (reference anyq_quantize_tensor assymetric=not scale_only,
+        quantize.py:542-545): zeros are exactly 0 and the quantized
+        linear still reconstructs well."""
+        import numpy as np
+        from any4_tpu.ops import linear as lin
+        w = jax.random.normal(jax.random.PRNGKey(6), (16, 256))
+        qt = lin.quantize_tensor(w, "any4", group_size=128,
+                                 scale_only=True, kmeans_iters=20)
+        np.testing.assert_array_equal(np.asarray(qt.zeros), 0.0)
+        rec = lin.dequantize_tensor(qt, dtype=jnp.float32)
+        assert float(((rec - w) ** 2).mean()) < 0.05

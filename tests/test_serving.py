@@ -376,3 +376,30 @@ class TestFlashPagedDecodeQuantized:
         e.submit(prompt, max_new_tokens=3)
         done = e.run(max_steps=50)
         assert len(done) == 1 and len(done[0].out_tokens) == 3
+
+
+class TestEngineW4A8:
+    def test_engine_w4a8_matches_generate(self):
+        """The int8-MXU format serves end-to-end: engine prefill (chunked
+        int8 kernel) + burst decode match sequential generate on the same
+        quantized weights."""
+        from any4_tpu.quant import api
+        cfg = llama.LlamaConfig(vocab_size=128, hidden_size=128,
+                                intermediate_size=256,
+                                num_hidden_layers=2,
+                                num_attention_heads=2,
+                                num_key_value_heads=2, head_dim=64,
+                                tie_word_embeddings=True,
+                                dtype=jnp.float32)
+        params = llama.init_params(cfg, jax.random.PRNGKey(50))
+        qparams = api.quantize_model(params, fmt="w4a8", group_size=128)
+        prompt = np.asarray(
+            jax.random.randint(jax.random.PRNGKey(51), (5,), 0,
+                               cfg.vocab_size))
+        ref = generate.generate(qparams, cfg, jnp.asarray(prompt[None]),
+                                max_new_tokens=5)
+        e = eng.Engine(qparams, cfg, max_slots=2, max_ctx=64, page_size=8)
+        e.submit(prompt, max_new_tokens=5)
+        done = e.run()
+        np.testing.assert_array_equal(np.asarray(done[0].out_tokens),
+                                      np.asarray(ref[0, 5:]))
