@@ -30,7 +30,8 @@ def main(argv=None):
     p.add_argument("--output-dim", type=int, default=4096)
     p.add_argument("--batch", type=int, default=1)
     p.add_argument("--quantize", default="any4",
-                   choices=["int4", "int8", "any4", "nf4", "fp4", "mx4"])
+                   choices=["int4", "int4p", "int8", "int8p", "w4a8",
+                            "w8a8", "any4", "nf4", "fp4", "mx4"])
     p.add_argument("--group-size", type=int, default=128)
     p.add_argument("--rounds", type=int, default=12)
     p.add_argument("--iters", type=int, default=20)
@@ -55,13 +56,13 @@ def main(argv=None):
     wb = w.astype(jnp.bfloat16)
     kw = dict(kmeans_iters=8) if args.quantize == "any4" else {}
     qt = lin.quantize_tensor(w, args.quantize, g, **kw)
-    kfmt = lin._kernel_fmt(qt.fmt, qt.lut)
 
     f_b = jax.jit(lambda a, b: a @ b.T)
-    f_q = jax.jit(lambda a, p_, s, z, l, kf=kfmt:
-                  gemv.quantized_matmul(a, p_, s, z, l, fmt=kf,
-                                        group_size=g, n=N))
-    qargs = (x, qt.packed, qt.scales, qt.zeros, qt.lut)
+    # the production dispatch (ops.linear.linear) so every format takes
+    # its real path: fused kernel, int8p plane duplication, w4a8/w8a8
+    # activation quantization
+    f_q = jax.jit(lambda a, q: lin.linear(a, q))
+    qargs = (x, qt)
     jax.block_until_ready(f_b(x, wb))
     jax.block_until_ready(f_q(*qargs))
     tb = tq = float("inf")
