@@ -271,6 +271,53 @@ class TestTPEngine:
             np.testing.assert_allclose(a, b, atol=0.1)
 
 
+class TestTPEngineW4A8:
+    @pytest.mark.skipif(len(jax.devices()) < 2, reason="needs 2+ devices")
+    def test_tp_engine_w4a8_teacher_forced(self):
+        """North-star stack on the int8-MXU format: w4a8 weights,
+        tensor-parallel decode, paged KV. Teacher-forced logits parity
+        (see TestTPEngine for why free-running token equality is
+        fragile); tolerance also covers per-shard vs full-k activation
+        absmax grouping."""
+        from any4_tpu.parallel import tp
+        from any4_tpu.quant import api
+        cfg = llama.LlamaConfig(vocab_size=128, hidden_size=256,
+                                intermediate_size=256,
+                                num_hidden_layers=2,
+                                num_attention_heads=2,
+                                num_key_value_heads=2, head_dim=128,
+                                tie_word_embeddings=True,
+                                dtype=jnp.float32)
+        params = llama.init_params(cfg, jax.random.PRNGKey(60))
+        qparams = api.quantize_model(params, fmt="w4a8", group_size=128,
+                                     row_parallel_shards=2)
+        mesh = tp.make_mesh(dp=1, tp=2, devices=jax.devices()[:2])
+        sharded, specs = tp.shard_params(qparams, mesh, cfg=cfg)
+        prompt = np.asarray([3, 1, 4, 1, 5], np.int32)
+        forced = [7, 11, 13, 17]
+
+        def run_forced(params_, mesh_=None, specs_=None):
+            e = eng.Engine(params_, cfg, max_slots=1, max_ctx=32,
+                           page_size=8, mesh=mesh_, param_spec=specs_)
+            cap = []
+            it = iter(forced)
+
+            def sample(lg):
+                cap.append(np.asarray(lg, np.float32))
+                return jnp.full((lg.shape[0],), next(it), jnp.int32)
+
+            e.sample_fn = sample
+            e.submit(prompt, max_new_tokens=4)
+            e.run()
+            return cap
+
+        ls = run_forced(qparams)
+        lt = run_forced(sharded, mesh, specs)
+        assert len(ls) == len(lt) == 4
+        for a, b in zip(ls, lt):
+            np.testing.assert_allclose(a, b, atol=0.15)
+
+
 class TestQuantizedKV:
     def test_int8_kv_write_gather_roundtrip(self):
         pages = (jnp.zeros((2, 4, 8, 4), jnp.int8),
