@@ -15,6 +15,15 @@ import jax.numpy as jnp
 from . import llama
 
 
+
+def _model_forward(params):
+    """llama.forward, or mixtral.forward when the param tree carries MoE
+    expert layers (key presence is static under jit)."""
+    if params["layers"] and "experts" in params["layers"][0]:
+        from . import mixtral
+        return mixtral.forward
+    return llama.forward
+
 def _prefill_mask(t: int, max_len: int) -> jax.Array:
     """Causal mask for prefill writing into a [max_len] cache."""
     q = jnp.arange(t)[:, None]
@@ -27,7 +36,7 @@ def prefill(params: Dict, cfg: "llama.LlamaConfig", input_ids: jax.Array,
             kv_caches):
     b, t = input_ids.shape
     max_len = kv_caches[0][0].shape[1]
-    logits, caches = llama.forward(
+    logits, caches = _model_forward(params)(
         params, cfg, input_ids, kv_caches=kv_caches, cache_pos=None,
         mask=_prefill_mask(t, max_len))
     return logits[:, -1, :], caches
@@ -41,7 +50,7 @@ def decode_step(params: Dict, cfg: "llama.LlamaConfig", token: jax.Array,
     max_len = kv_caches[0][0].shape[1]
     positions = jnp.broadcast_to(pos, (b, 1))
     mask = llama.decode_mask(max_len, pos)
-    logits, caches = llama.forward(
+    logits, caches = _model_forward(params)(
         params, cfg, token[:, None], positions=positions,
         kv_caches=kv_caches, cache_pos=pos, mask=mask)
     return logits[:, -1, :], caches
@@ -79,7 +88,7 @@ def decode_loop(params: Dict, cfg: "llama.LlamaConfig", token: jax.Array,
 
     def body(carry, _):
         tok, p, caches, k, dn, _ = carry
-        logits, caches = llama.forward(
+        logits, caches = _model_forward(params)(
             params, cfg, tok[:, None],
             positions=jnp.broadcast_to(p, (b, 1)),
             kv_caches=caches, cache_pos=p,

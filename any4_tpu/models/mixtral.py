@@ -67,9 +67,15 @@ def init_params(cfg: MixtralConfig, key: jax.Array) -> Dict:
 
 def moe_ffn(layer: Dict, cfg: MixtralConfig, x: jax.Array,
             capture: Optional[dict] = None, prefix: str = "",
-            **kw) -> jax.Array:
+            psum_axis: Optional[str] = None, **kw) -> jax.Array:
     """Top-k routed expert FFN (HF semantics: softmax over the top-k router
-    logits)."""
+    logits).
+
+    Under tensor parallelism the router (and x) are replicated, each
+    expert's w1/w3 are column-parallel and w2 row-parallel on the FFN dim,
+    so every shard computes a partial of every expert's output; one psum
+    after the routed combine reduces them all (psum is linear in the
+    expert sum)."""
     b, t, d = x.shape
     router_logits = lin.linear(x, layer["router"])        # [b, t, E]
     topv, topi = jax.lax.top_k(router_logits.astype(jnp.float32),
@@ -88,6 +94,8 @@ def moe_ffn(layer: Dict, cfg: MixtralConfig, x: jax.Array,
         ye = lin.linear(h, expert["w2"], **kw).astype(jnp.float32)
         weight = jnp.sum(jnp.where(topi == e, gate, 0.0), axis=-1)  # [b, t]
         out = out + ye * weight[..., None]
+    if psum_axis is not None:  # tensor-parallel row-parallel reduction
+        out = jax.lax.psum(out, psum_axis)
     return out.astype(x.dtype)
 
 
@@ -95,7 +103,8 @@ def forward(params: Dict, cfg: MixtralConfig, input_ids: jax.Array,
             positions: Optional[jax.Array] = None,
             kv_caches: Optional[list] = None,
             cache_pos=None, mask: Optional[jax.Array] = None,
-            capture: Optional[dict] = None, **kw):
+            capture: Optional[dict] = None,
+            psum_axis: Optional[str] = None, **kw):
     b, t = input_ids.shape
     if positions is None:
         positions = jnp.broadcast_to(jnp.arange(t)[None, :], (b, t))
@@ -112,12 +121,13 @@ def forward(params: Dict, cfg: MixtralConfig, input_ids: jax.Array,
         attn_out, nc = llama.attention(
             layer, cfg, h, cos, sin,
             None if kv_caches is None else kv_caches[i],
-            cache_pos, mask, capture=capture, prefix=f"layers.{i}.", **kw)
+            cache_pos, mask, capture=capture, prefix=f"layers.{i}.",
+            psum_axis=psum_axis, **kw)
         x = x + attn_out
         h = llama.rms_norm(x, layer["post_attention_layernorm"],
                            cfg.rms_norm_eps)
         x = x + moe_ffn(layer, cfg, h, capture=capture,
-                        prefix=f"layers.{i}.", **kw)
+                        prefix=f"layers.{i}.", psum_axis=psum_axis, **kw)
         new_caches.append(nc)
 
     x = llama.rms_norm(x, params["norm"], cfg.rms_norm_eps)

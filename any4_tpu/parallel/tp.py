@@ -33,12 +33,15 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..models import llama
 from ..ops import linear as lin
 
-# column-parallel leaves: shard output dim; row-parallel: shard input dim
+# column-parallel leaves: shard output dim; row-parallel: shard input dim.
+# w1/w3/w2 are Mixtral per-expert gate/up/down (models/mixtral.py): every
+# expert splits its FFN dim over tp like a dense MLP; the router stays
+# replicated so routing decisions are shard-identical.
 _COL_KEYS = ("q_proj", "k_proj", "v_proj", "gate_proj", "up_proj",
-             "qkv_proj", "gateup_proj")
-_ROW_KEYS = ("o_proj", "down_proj")
+             "qkv_proj", "gateup_proj", "w1", "w3")
+_ROW_KEYS = ("o_proj", "down_proj", "w2")
 _REPL_KEYS = ("input_layernorm", "post_attention_layernorm", "norm",
-              "embed_tokens", "lm_head")
+              "embed_tokens", "lm_head", "router")
 
 
 def make_mesh(dp: int = 1, tp: Optional[int] = None,
@@ -243,22 +246,25 @@ def local_config(cfg: "llama.LlamaConfig", tp: int) -> "llama.LlamaConfig":
 
 
 def make_tp_forward(cfg: "llama.LlamaConfig", mesh: Mesh, param_spec,
-                    with_cache: bool = False):
+                    with_cache: bool = False, forward_fn=None):
     """Build a jitted shard_map'd forward.
 
     Returns ``fn(params, input_ids[, kv_caches, cache_pos, mask])`` ->
     ``(logits, new_caches)``. Batch shards over ``dp``; heads/FFN over
     ``tp``; logits are replicated (psum'd partials after row-parallel
-    layers happen inside).
+    layers happen inside). ``forward_fn`` defaults to ``llama.forward``;
+    pass ``mixtral.forward`` (or any forward with the same signature) for
+    other families.
     """
+    fwd = llama.forward if forward_fn is None else forward_fn
     tp = mesh.shape["tp"]
     cfg_local = local_config(cfg, tp)
     cache_spec = P("dp", None, "tp", None)  # [b, t, heads, hd]
 
     if not with_cache:
         def local_fn(params, input_ids):
-            logits, _ = llama.forward(params, cfg_local, input_ids,
-                                      psum_axis="tp")
+            logits, _ = fwd(params, cfg_local, input_ids,
+                            psum_axis="tp")
             return logits
 
         fn = jax.shard_map(
@@ -273,7 +279,7 @@ def make_tp_forward(cfg: "llama.LlamaConfig", mesh: Mesh, param_spec,
         b = token.shape[0]
         positions = jnp.broadcast_to(pos, (b, 1))
         mask = llama.decode_mask(max_len, pos)
-        logits, caches = llama.forward(
+        logits, caches = fwd(
             params, cfg_local, token[:, None], positions=positions,
             kv_caches=kv_caches, cache_pos=pos, mask=mask, psum_axis="tp")
         return logits[:, -1, :], caches

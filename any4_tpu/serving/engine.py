@@ -44,6 +44,23 @@ class Request:
     done: bool = False
 
 
+def _model_forward(params):
+    """llama.forward, or mixtral.forward when the param tree carries MoE
+    expert layers (key presence is static under jit)."""
+    if params["layers"] and "experts" in params["layers"][0]:
+        from ..models import mixtral
+        return mixtral.forward
+    return llama.forward
+
+
+def _ffn(layer, cfg, h, psum_axis=None):
+    """Dense MLP or routed MoE FFN for one decode-step layer."""
+    if "experts" in layer:
+        from ..models import mixtral
+        return mixtral.moe_ffn(layer, cfg, h, psum_axis=psum_axis)
+    return llama.mlp(layer, h, psum_axis=psum_axis)
+
+
 def _prefill_impl(params, cfg, prompt, true_len, k_pages, v_pages,
                   table_row, page_size, psum_axis=None):
     """Run one (bucket-padded) prompt [1, L] and write its first
@@ -57,9 +74,9 @@ def _prefill_impl(params, cfg, prompt, true_len, k_pages, v_pages,
                      -1e9)[None, None].astype(jnp.float32)
     # temporary dense cache for the prefill, then scatter into pages
     caches = llama.init_kv_caches(cfg, 1, L)
-    logits, caches = llama.forward(params, cfg, prompt, positions=positions,
-                                   kv_caches=caches, cache_pos=None,
-                                   mask=mask, psum_axis=psum_axis)
+    logits, caches = _model_forward(params)(
+        params, cfg, prompt, positions=positions, kv_caches=caches,
+        cache_pos=None, mask=mask, psum_axis=psum_axis)
     pos = jnp.arange(L)
     real = pos < true_len
     # padded positions write to page 0, the reserved scratch sink
@@ -129,7 +146,7 @@ def _decode_impl(params, cfg, tokens, seq_lens, tables, k_pages, v_pages,
         x = x + out
         h = llama.rms_norm(x, layer["post_attention_layernorm"],
                            cfg.rms_norm_eps)
-        x = x + llama.mlp(layer, h, psum_axis=psum_axis)
+        x = x + _ffn(layer, cfg, h, psum_axis=psum_axis)
 
     x = llama.rms_norm(x, params["norm"], cfg.rms_norm_eps)
     if "lm_head" in params:

@@ -304,3 +304,53 @@ class TestPairPackedReshard:
         np.testing.assert_allclose(
             np.asarray(lin.dequantize_tensor(out, dtype=jnp.float32)),
             np.asarray(dense)[order], rtol=1e-6, atol=1e-6)
+
+
+class TestMixtralTP:
+    """Tensor-parallel MoE: experts split their FFN dim over tp (w1/w3
+    column-, w2 row-parallel), router replicated, one psum after the
+    routed combine (models/mixtral.moe_ffn)."""
+
+    @pytest.fixture(scope="class")
+    def tiny_moe(self):
+        from any4_tpu.models import mixtral
+        cfg = mixtral.MixtralConfig(
+            vocab_size=128, hidden_size=64, intermediate_size=128,
+            num_hidden_layers=2, num_attention_heads=8,
+            num_key_value_heads=4, head_dim=8, num_local_experts=4,
+            num_experts_per_tok=2, tie_word_embeddings=True,
+            dtype=jnp.float32)
+        params = mixtral.init_params(cfg, jax.random.PRNGKey(70))
+        return cfg, params
+
+    def test_dense_moe_tp_matches_single(self, tiny_moe):
+        from any4_tpu.models import mixtral
+        cfg, params = tiny_moe
+        mesh = tp.make_mesh(dp=2, tp=4)
+        sharded, specs = tp.shard_params(params, mesh)
+        fwd = tp.make_tp_forward(cfg, mesh, specs,
+                                 forward_fn=mixtral.forward)
+        ids = jax.random.randint(jax.random.PRNGKey(71), (4, 8), 0,
+                                 cfg.vocab_size)
+        ref, _ = mixtral.forward(params, cfg, ids)
+        out = fwd(sharded, ids)
+        np.testing.assert_allclose(np.asarray(out, np.float32),
+                                   np.asarray(ref, np.float32),
+                                   atol=1e-3, rtol=1e-3)
+
+    def test_quantized_moe_tp_matches_single(self, tiny_moe):
+        from any4_tpu.models import mixtral
+        cfg, params = tiny_moe
+        qparams = api.quantize_model(params, fmt="int4", group_size=32,
+                                     row_parallel_shards=4)
+        mesh = tp.make_mesh(dp=2, tp=4)
+        sharded, specs = tp.shard_params(qparams, mesh)
+        fwd = tp.make_tp_forward(cfg, mesh, specs,
+                                 forward_fn=mixtral.forward)
+        ids = jax.random.randint(jax.random.PRNGKey(72), (2, 8), 0,
+                                 cfg.vocab_size)
+        ref, _ = mixtral.forward(qparams, cfg, ids, interpret=True)
+        out = fwd(sharded, ids)
+        np.testing.assert_allclose(np.asarray(out, np.float32),
+                                   np.asarray(ref, np.float32),
+                                   atol=5e-2, rtol=5e-2)

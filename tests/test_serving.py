@@ -450,3 +450,38 @@ class TestEngineW4A8:
         done = e.run()
         np.testing.assert_array_equal(np.asarray(done[0].out_tokens),
                                       np.asarray(ref[0, 5:]))
+
+
+class TestMixtralEngine:
+    def test_moe_engine_matches_generate(self):
+        """The engine serves MoE models: expert layers are detected in
+        the param tree and routed through mixtral.moe_ffn in the decode
+        step (prefill through mixtral.forward)."""
+        from any4_tpu.models import mixtral
+        cfg = mixtral.MixtralConfig.tiny(vocab=128, layers=2)
+        params = mixtral.init_params(cfg, jax.random.PRNGKey(80))
+        prompt = np.asarray(
+            jax.random.randint(jax.random.PRNGKey(81), (6,), 0,
+                               cfg.vocab_size))
+        ref = generate.generate(params, cfg, jnp.asarray(prompt[None]),
+                                max_new_tokens=5)
+        e = eng.Engine(params, cfg, max_slots=2, max_ctx=64, page_size=8)
+        e.submit(prompt, max_new_tokens=5)
+        done = e.run()
+        np.testing.assert_array_equal(np.asarray(done[0].out_tokens),
+                                      np.asarray(ref[0, 6:]))
+
+    def test_moe_engine_quantized(self):
+        from any4_tpu.models import mixtral
+        from any4_tpu.quant import api
+        cfg = mixtral.MixtralConfig.tiny(vocab=128, layers=1)
+        params = mixtral.init_params(cfg, jax.random.PRNGKey(82))
+        qparams = api.quantize_model(params, fmt="int4", group_size=32)
+        prompt = np.asarray([5, 3, 7], np.int32)
+        ref = generate.generate(qparams, cfg, jnp.asarray(prompt[None]),
+                                max_new_tokens=4)
+        e = eng.Engine(qparams, cfg, max_slots=1, max_ctx=32, page_size=8)
+        e.submit(prompt, max_new_tokens=4)
+        done = e.run()
+        np.testing.assert_array_equal(np.asarray(done[0].out_tokens),
+                                      np.asarray(ref[0, 3:]))
