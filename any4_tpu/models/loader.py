@@ -63,18 +63,10 @@ def _open_shards(model_dir: str):
     return get, set(weight_map)
 
 
-def load_llama(model_dir: str, dtype=jnp.bfloat16, as_numpy: bool = False
-               ) -> Tuple["llama.LlamaConfig", Dict]:
-    """Load an HF Llama/Mistral/Qwen2-style checkpoint directory.
-
-    ``as_numpy=True`` keeps weights host-side (float32 numpy) so the
-    native C++ data plane can quantize+pack without a device round trip
-    (see ops.linear.quantize_tensor)."""
-    with open(os.path.join(model_dir, "config.json")) as f:
-        hf_cfg = json.load(f)
-    cfg = _cfg_from_hf(hf_cfg)
-    get, names = _open_shards(model_dir)
-
+def _make_arr(get, as_numpy: bool, dtype):
+    """Reader for checkpoint tensors: device jnp in ``dtype``, or (with
+    ``as_numpy``) host float32 numpy so the native C++ data plane can
+    quantize+pack without a device round trip."""
     if as_numpy:
         def arr(name):
             a = get(name)
@@ -88,6 +80,32 @@ def load_llama(model_dir: str, dtype=jnp.bfloat16, as_numpy: bool = False
     else:
         def arr(name):
             return jnp.asarray(get(name)).astype(dtype)
+    return arr
+
+
+def load_model(model_dir: str, dtype=jnp.bfloat16, as_numpy: bool = False):
+    """Load any supported HF checkpoint directory, dispatching on
+    config.json's ``model_type`` (llama-family dense vs mixtral MoE) --
+    the analog of the reference's AutoModelForCausalLM entry."""
+    with open(os.path.join(model_dir, "config.json")) as f:
+        model_type = json.load(f).get("model_type", "llama")
+    if model_type == "mixtral":
+        return load_mixtral(model_dir, dtype=dtype, as_numpy=as_numpy)
+    return load_llama(model_dir, dtype=dtype, as_numpy=as_numpy)
+
+
+def load_llama(model_dir: str, dtype=jnp.bfloat16, as_numpy: bool = False
+               ) -> Tuple["llama.LlamaConfig", Dict]:
+    """Load an HF Llama/Mistral/Qwen2-style checkpoint directory.
+
+    ``as_numpy=True`` keeps weights host-side (float32 numpy) so the
+    native C++ data plane can quantize+pack without a device round trip
+    (see ops.linear.quantize_tensor)."""
+    with open(os.path.join(model_dir, "config.json")) as f:
+        hf_cfg = json.load(f)
+    cfg = _cfg_from_hf(hf_cfg)
+    get, names = _open_shards(model_dir)
+    arr = _make_arr(get, as_numpy, dtype)
 
     params: Dict = {
         "embed_tokens": arr("model.embed_tokens.weight"),
@@ -114,6 +132,93 @@ def load_llama(model_dir: str, dtype=jnp.bfloat16, as_numpy: bool = False
                 layer[f"{biased}_bias"] = arr(bname)
         params["layers"].append(layer)
     if not cfg.tie_word_embeddings and "lm_head.weight" in names:
+        params["lm_head"] = arr("lm_head.weight")
+    return cfg, params
+
+
+def _mixtral_cfg_from_hf(config: dict):
+    from . import mixtral
+    base = _cfg_from_hf(config)
+    return mixtral.MixtralConfig(
+        **{**base.__dict__,
+           "num_local_experts": config.get("num_local_experts", 8),
+           "num_experts_per_tok": config.get("num_experts_per_tok", 2)})
+
+
+def load_mixtral(model_dir: str, dtype=jnp.bfloat16, as_numpy: bool = False
+                 ) -> Tuple["object", Dict]:
+    """Load an HF Mixtral (sparse-MoE) checkpoint directory.
+
+    Layout (HF MixtralForCausalLM): attention/norms as Llama plus
+    ``block_sparse_moe.gate`` (router) and per-expert ``experts.{e}.w1/w2/w3``.
+    The reference evaluates Mixtral-8x7B through this exact HF model
+    (README.md:309-327)."""
+    with open(os.path.join(model_dir, "config.json")) as f:
+        hf_cfg = json.load(f)
+    cfg = _mixtral_cfg_from_hf(hf_cfg)
+    get, names = _open_shards(model_dir)
+    arr = _make_arr(get, as_numpy, dtype)
+
+    params: Dict = {
+        "embed_tokens": arr("model.embed_tokens.weight"),
+        "norm": arr("model.norm.weight"),
+        "layers": [],
+    }
+    for i in range(cfg.num_hidden_layers):
+        p = f"model.layers.{i}."
+        layer = {
+            "input_layernorm": arr(p + "input_layernorm.weight"),
+            "post_attention_layernorm":
+                arr(p + "post_attention_layernorm.weight"),
+            "q_proj": arr(p + "self_attn.q_proj.weight"),
+            "k_proj": arr(p + "self_attn.k_proj.weight"),
+            "v_proj": arr(p + "self_attn.v_proj.weight"),
+            "o_proj": arr(p + "self_attn.o_proj.weight"),
+            "router": arr(p + "block_sparse_moe.gate.weight"),
+            "experts": [
+                {"w1": arr(p + f"block_sparse_moe.experts.{e}.w1.weight"),
+                 "w3": arr(p + f"block_sparse_moe.experts.{e}.w3.weight"),
+                 "w2": arr(p + f"block_sparse_moe.experts.{e}.w2.weight")}
+                for e in range(cfg.num_local_experts)],
+        }
+        params["layers"].append(layer)
+    if not cfg.tie_word_embeddings and "lm_head.weight" in names:
+        params["lm_head"] = arr("lm_head.weight")
+    return cfg, params
+
+
+def convert_torch_mixtral(model, dtype=jnp.bfloat16):
+    """Convert an instantiated transformers MixtralForCausalLM (torch CPU)
+    into ``(cfg, params)`` for :mod:`any4_tpu.models.mixtral`."""
+    sd = {k: v.detach() for k, v in model.state_dict().items()}
+    cfg = _mixtral_cfg_from_hf(model.config.to_dict())
+
+    def arr(name):
+        return jnp.asarray(sd[name].float().numpy()).astype(dtype)
+
+    params: Dict = {
+        "embed_tokens": arr("model.embed_tokens.weight"),
+        "norm": arr("model.norm.weight"),
+        "layers": [],
+    }
+    for i in range(cfg.num_hidden_layers):
+        p = f"model.layers.{i}."
+        params["layers"].append({
+            "input_layernorm": arr(p + "input_layernorm.weight"),
+            "post_attention_layernorm":
+                arr(p + "post_attention_layernorm.weight"),
+            "q_proj": arr(p + "self_attn.q_proj.weight"),
+            "k_proj": arr(p + "self_attn.k_proj.weight"),
+            "v_proj": arr(p + "self_attn.v_proj.weight"),
+            "o_proj": arr(p + "self_attn.o_proj.weight"),
+            "router": arr(p + "block_sparse_moe.gate.weight"),
+            "experts": [
+                {"w1": arr(p + f"block_sparse_moe.experts.{e}.w1.weight"),
+                 "w3": arr(p + f"block_sparse_moe.experts.{e}.w3.weight"),
+                 "w2": arr(p + f"block_sparse_moe.experts.{e}.w2.weight")}
+                for e in range(cfg.num_local_experts)],
+        })
+    if "lm_head.weight" in sd and not cfg.tie_word_embeddings:
         params["lm_head"] = arr("lm_head.weight")
     return cfg, params
 
@@ -221,4 +326,6 @@ def load_hf_torch_model(name_or_dir: str, dtype=jnp.bfloat16):
 
     model = AutoModelForCausalLM.from_pretrained(name_or_dir,
                                                  torch_dtype=torch.float32)
+    if getattr(model.config, "model_type", "") == "mixtral":
+        return convert_torch_mixtral(model, dtype)
     return convert_torch_llama(model, dtype)

@@ -34,7 +34,7 @@ def main(argv=None):
         cfg = llama.LlamaConfig.tiny(vocab=512, layers=2)
         params = llama.init_params(cfg, jax.random.PRNGKey(0))
     else:
-        cfg, params = loader.load_llama(args.model_dir)
+        cfg, params = loader.load_model(args.model_dir)
 
     sw = None
     if args.calibration:

@@ -64,7 +64,7 @@ def main(argv=None):
         cfg = llama.LlamaConfig.tiny(vocab=2048, layers=2)
         params = llama.init_params(cfg, jax.random.PRNGKey(0))
     else:
-        cfg, params = loader.load_llama(args.model_dir)
+        cfg, params = loader.load_model(args.model_dir)
 
     prompt = jax.random.randint(jax.random.PRNGKey(1),
                                 (args.batch, args.prompt_tokens), 0,

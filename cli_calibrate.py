@@ -39,7 +39,7 @@ def main(argv=None):
         ids = jax.random.randint(jax.random.PRNGKey(1), (2, 64), 0,
                                  cfg.vocab_size)
     else:
-        cfg, params = loader.load_llama(args.model_dir)
+        cfg, params = loader.load_model(args.model_dir)
         from transformers import AutoTokenizer
         tok = AutoTokenizer.from_pretrained(args.model_dir)
         if args.dataset:

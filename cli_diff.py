@@ -35,7 +35,7 @@ def main(argv=None):
         cfg = llama.LlamaConfig.tiny(vocab=512, layers=2)
         params = llama.init_params(cfg, jax.random.PRNGKey(0))
     else:
-        cfg, params = loader.load_llama(args.model_dir)
+        cfg, params = loader.load_model(args.model_dir)
 
     ids = jax.random.randint(jax.random.PRNGKey(1),
                              (1, args.prompt_tokens), 0, cfg.vocab_size)

@@ -97,7 +97,7 @@ def main(argv=None):
         cfg = llama.LlamaConfig.tiny(vocab=2048, layers=2)
         params = llama.init_params(cfg, jax.random.PRNGKey(0))
     else:
-        cfg, params = loader.load_llama(args.model_dir)
+        cfg, params = loader.load_model(args.model_dir)
         tok_dir = args.tokenizer_dir or args.model_dir
         try:
             from transformers import AutoTokenizer

@@ -66,7 +66,7 @@ def main(argv=None):
         host_side = (args.fmt == "int4" and native.available()
                      and not args.awq and not args.calibrate
                      and not args.load_awq)
-        cfg, params = loader.load_llama(args.model_dir, as_numpy=host_side)
+        cfg, params = loader.load_model(args.model_dir, as_numpy=host_side)
         if host_side:
             print("loading host-side for native quantize+pack")
         tokenizer = None

@@ -20,7 +20,7 @@ def main():
     args = p.parse_args()
 
     if args.model_dir:
-        cfg, params = loader.load_llama(args.model_dir)
+        cfg, params = loader.load_model(args.model_dir)
     else:
         cfg = llama.LlamaConfig.tiny(vocab=1024, layers=2)
         params = llama.init_params(cfg, jax.random.PRNGKey(0))

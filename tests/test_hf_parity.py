@@ -116,6 +116,73 @@ class TestLlamaParity:
             _assert_logits_close(logits[0, -1], ref[0, t])
 
 
+def _hf_mixtral(seed=0):
+    cfg = transformers.MixtralConfig(
+        vocab_size=256, hidden_size=64, intermediate_size=96,
+        num_hidden_layers=2, num_attention_heads=8, num_key_value_heads=4,
+        max_position_embeddings=128, num_local_experts=4,
+        num_experts_per_tok=2, attn_implementation="eager",
+        router_jitter_noise=0.0)
+    torch.manual_seed(seed)
+    return transformers.MixtralForCausalLM(cfg).eval().float()
+
+
+class TestMixtralParity:
+    """Pins the MoE forward (top-k routing renormalization, per-expert
+    SwiGLU, router placement) to HF MixtralForCausalLM -- the reference's
+    ground truth for its Mixtral-8x7B results (README.md:309-327)."""
+
+    def test_logits_match(self):
+        from any4_tpu.models import mixtral
+        model = _hf_mixtral(seed=6)
+        cfg, params = loader.convert_torch_mixtral(model, dtype=jnp.float32)
+        cfg = cfg.__class__(**{**cfg.__dict__, "dtype": jnp.float32})
+        ids = np.array([[1, 5, 9, 200, 7, 42, 3, 250]], np.int64)
+        ref = _torch_logits(model, ids)
+        ours, _ = mixtral.forward(params, cfg, jnp.asarray(ids, jnp.int32))
+        _assert_logits_close(ours, ref)
+
+    def test_decode_cache_matches_full_forward(self):
+        from any4_tpu.models import mixtral
+        model = _hf_mixtral(seed=7)
+        cfg, params = loader.convert_torch_mixtral(model, dtype=jnp.float32)
+        cfg = cfg.__class__(**{**cfg.__dict__, "dtype": jnp.float32})
+        ids = np.array([[3, 14, 15, 92, 65]], np.int64)
+        ref = _torch_logits(model, ids)
+        max_len = 8
+        caches = llama.init_kv_caches(cfg, 1, max_len, dtype=jnp.float32)
+        jids = jnp.asarray(ids, jnp.int32)
+        pre = 2
+        mask = jnp.where(
+            (jnp.arange(max_len)[None, :] <= jnp.arange(pre)[:, None]),
+            0.0, -1e9)[None, None].astype(jnp.float32)
+        logits, caches = mixtral.forward(
+            params, cfg, jids[:, :pre], kv_caches=caches, cache_pos=None,
+            mask=mask)
+        _assert_logits_close(logits[0, -1], ref[0, pre - 1])
+        for t in range(pre, ids.shape[1]):
+            positions = jnp.full((1, 1), t, jnp.int32)
+            mask = llama.decode_mask(max_len, jnp.int32(t))
+            logits, caches = mixtral.forward(
+                params, cfg, jids[:, t:t + 1], positions=positions,
+                kv_caches=caches, cache_pos=jnp.int32(t), mask=mask)
+            _assert_logits_close(logits[0, -1], ref[0, t])
+
+    def test_load_mixtral_safetensors_roundtrip(self, tmp_path):
+        """save_pretrained -> load_mixtral reads the HF shard layout."""
+        from any4_tpu.models import mixtral
+        model = _hf_mixtral(seed=8)
+        model.save_pretrained(tmp_path, safe_serialization=True)
+        cfg, params = loader.load_mixtral(str(tmp_path), dtype=jnp.float32)
+        cfg = cfg.__class__(**{**cfg.__dict__, "dtype": jnp.float32})
+        assert cfg.num_local_experts == 4
+        assert len(params["layers"][0]["experts"]) == 4
+        ids = np.array([[2, 17, 200, 31]], np.int64)
+        ref = _torch_logits(model, ids)
+        ours, _ = mixtral.forward(params, cfg, jnp.asarray(ids, jnp.int32))
+        _assert_logits_close(ours, ref)
+
+
 class TestOPTParity:
     def test_logits_match(self):
         hf_cfg = transformers.OPTConfig(
