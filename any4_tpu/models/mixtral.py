@@ -109,7 +109,7 @@ def forward(params: Dict, cfg: MixtralConfig, input_ids: jax.Array,
     if positions is None:
         positions = jnp.broadcast_to(jnp.arange(t)[None, :], (b, t))
     cos, sin = llama.rope_tables(cfg, positions)
-    x = jnp.take(params["embed_tokens"], input_ids, axis=0).astype(cfg.dtype)
+    x = lin.embed(params["embed_tokens"], input_ids, cfg.dtype)
 
     if mask is None and kv_caches is None and t > 1:
         mask = jnp.where(jnp.tril(jnp.ones((t, t), jnp.bool_)), 0.0,
@@ -133,6 +133,8 @@ def forward(params: Dict, cfg: MixtralConfig, input_ids: jax.Array,
     x = llama.rms_norm(x, params["norm"], cfg.rms_norm_eps)
     if "lm_head" in params:
         logits = lin.linear(x, params["lm_head"], **kw)
+    elif isinstance(params["embed_tokens"], lin.QuantizedTensor):
+        logits = lin.linear(x, params["embed_tokens"], **kw)
     else:
         logits = x @ params["embed_tokens"].T.astype(x.dtype)
     return logits, (new_caches if kv_caches is not None else None)

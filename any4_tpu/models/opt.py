@@ -102,9 +102,10 @@ def forward(params: Dict, cfg: OPTConfig, input_ids: jax.Array,
     b, t = input_ids.shape
     if positions is None:
         positions = jnp.broadcast_to(jnp.arange(t)[None, :], (b, t))
-    x = jnp.take(params["embed_tokens"], input_ids, axis=0)
+    x = lin.embed(params["embed_tokens"], input_ids)
     # OPT's learned positions carry a +2 offset (HF OPTLearnedPositionalEmbedding)
-    x = x + jnp.take(params["embed_positions"], positions + 2, axis=0)
+    x = x + jnp.take(params["embed_positions"], positions + 2,
+                     axis=0).astype(x.dtype)
     x = x.astype(cfg.dtype)
 
     if mask is None and t > 1:
@@ -157,7 +158,10 @@ def forward(params: Dict, cfg: OPTConfig, input_ids: jax.Array,
             x = layer_norm(x, layer["final_layer_norm"])
 
     x = layer_norm(x, params["final_layer_norm"])
-    logits = x @ params["embed_tokens"].T.astype(x.dtype)
+    if isinstance(params["embed_tokens"], lin.QuantizedTensor):
+        logits = lin.linear(x, params["embed_tokens"], **kw)
+    else:
+        logits = x @ params["embed_tokens"].T.astype(x.dtype)
     return logits, None
 
 

@@ -313,17 +313,66 @@ def dequantize_tensor(qt: QuantizedTensor, dtype=None) -> jax.Array:
     return w[:, :k].astype(dtype)
 
 
-def quantize_activations(x: jax.Array, eps: float = 1e-8):
+# formats a quantized *embedding table* may use: the row gather needs one
+# logical row per packed row (int4p/w4a8 interleave 2/4 rows per int32
+# word; int8p splits bytes across group-interleaved planes)
+EMBED_FMTS = _NIBBLE_FMTS + ("int8", "w8a8")
+
+
+def embedding_lookup(qt: QuantizedTensor, ids: jax.Array) -> jax.Array:
+    """Gather + dequantize rows of a quantized embedding table.
+
+    The reference never quantizes embeddings (its tinygemm is a linear-
+    layer kernel); on TPU a quantized *tied* embedding pays twice: the
+    lm_head matmul reads half (w8a8) or a quarter (4-bit) of the bf16
+    bytes at decode, and the token lookup is a cheap row gather + affine
+    over ``[batch, k]`` -- so the big vocab table stops being the largest
+    bf16 buffer in a quantized checkpoint. Rows are gathered from the
+    packed codes and reconstructed exactly like
+    :func:`dequantize_tensor` on the sub-table.
+    """
+    assert qt.row_shards == 1, "embedding tables are not row-sharded"
+    assert qt.fmt in EMBED_FMTS, \
+        f"embedding lookup needs row-gatherable packing; fmt {qt.fmt!r} " \
+        f"packs multiple rows per word (use one of {EMBED_FMTS})"
+    n, k = qt.shape
+    flat = ids.reshape(-1)
+    sub = replace(
+        qt,
+        packed=jnp.take(qt.packed, flat, axis=0),
+        scales=jnp.take(qt.scales, flat, axis=1),
+        zeros=jnp.take(qt.zeros, flat, axis=1),
+        lut=(jnp.take(qt.lut, flat, axis=0)
+             if qt.lut is not None and qt.lut.shape[0] == n else qt.lut),
+        shape=(int(flat.shape[0]), k))
+    w = dequantize_tensor(sub)
+    return w.reshape(*ids.shape, k)
+
+
+def embed(w, ids: jax.Array, dtype=None) -> jax.Array:
+    """Token-embedding lookup over a dense or quantized table."""
+    if isinstance(w, QuantizedTensor):
+        x = embedding_lookup(w, ids)
+    else:
+        x = jnp.take(w, ids, axis=0)
+    return x if dtype is None else x.astype(dtype)
+
+
+def quantize_activations(x: jax.Array, eps: float = gemv.ACT_EPS):
     """Per-row absmax int8 activation quantization for the w4a8/w8a8
     int8-MXU kernels: ``x ~= xq * sx`` with ``xq`` int8 in [-127, 127] and
     ``sx = absmax/127`` per leading row. Under row-parallel TP each shard
     quantizes its local k-slice independently (a finer-grained, equally
     valid activation grouping -- each shard's partial is scaled by its own
-    ``sx`` before the psum). Returns ``(xq int8, sx f32[..., 1])``."""
+    ``sx`` before the psum). At decode-shaped m the kernels fuse this step
+    into their prologue (gemv._w4a8f_kernel) with identical math; this
+    external path serves prefill (m-chunked) and the test references.
+    Returns ``(xq int8, sx f32[..., 1])``."""
     xf = x.astype(jnp.float32)
     sx = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True),
-                     eps) / 127.0
-    xq = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
+                     eps) / gemv.ACT_QMAX
+    xq = jnp.clip(jnp.round(xf / sx), -gemv.ACT_QMAX,
+                  gemv.ACT_QMAX).astype(jnp.int8)
     return xq, sx
 
 
@@ -380,23 +429,35 @@ def linear(x: jax.Array, w, bias: Optional[jax.Array] = None, *,
             # formats there is no dequant fallback -- the packed int8/int4
             # codes are the MXU operand directly, and int8 dots run at
             # twice the bf16 MXU rate.
-            xq = _shard_align_x(x, w)
-            xq, sx = quantize_activations(xq)
+            xa = _shard_align_x(x, w)
             n_local = w.packed.shape[0] * (4 if w.fmt == "w4a8" else 1)
-            mm = functools.partial(
-                gemv.quantized_matmul, packed=w.packed, scales_t=w.scales,
-                zeros_t=w.zeros, lut=None, fmt=w.fmt,
-                group_size=w.group_size, n=n_local, block_n=block_n,
-                out_dtype=jnp.float32, interpret=interpret, k_chunk=k_chunk)
-            if m <= max(fused_m_max, _INT8_M_TILE):
-                y = mm(xq)
+            if m <= gemv.FUSED_ACT_M_MAX:
+                # decode: the per-row absmax quantize and the y*sx
+                # post-scale are fused into the kernel itself (float
+                # input selects the fused-act variant) -- one dispatch,
+                # no separate XLA ops (PERF_NOTES round 2d gap analysis)
+                y = gemv.quantized_matmul(
+                    xa, w.packed, w.scales, w.zeros, None, fmt=w.fmt,
+                    group_size=w.group_size, n=n_local, block_n=block_n,
+                    out_dtype=x.dtype, interpret=interpret,
+                    k_chunk=k_chunk)
             else:
-                x2 = xq.reshape(-1, xq.shape[-1])
-                y = jnp.concatenate(
-                    [mm(x2[i:i + _INT8_M_TILE])
-                     for i in range(0, m, _INT8_M_TILE)]
-                ).reshape(*xq.shape[:-1], n_local)
-            y = (y * sx).astype(x.dtype)
+                xq, sx = quantize_activations(xa)
+                mm = functools.partial(
+                    gemv.quantized_matmul, packed=w.packed,
+                    scales_t=w.scales, zeros_t=w.zeros, lut=None,
+                    fmt=w.fmt, group_size=w.group_size, n=n_local,
+                    block_n=block_n, out_dtype=jnp.float32,
+                    interpret=interpret, k_chunk=k_chunk)
+                if m <= max(fused_m_max, _INT8_M_TILE):
+                    y = mm(xq)
+                else:
+                    x2 = xq.reshape(-1, xq.shape[-1])
+                    y = jnp.concatenate(
+                        [mm(x2[i:i + _INT8_M_TILE])
+                         for i in range(0, m, _INT8_M_TILE)]
+                    ).reshape(*xq.shape[:-1], n_local)
+                y = (y * sx).astype(x.dtype)
         elif m <= fused_m_max:
             xq = _shard_align_x(x, w)
             # n from the live array, not static metadata: inside shard_map

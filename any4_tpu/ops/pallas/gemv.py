@@ -47,6 +47,13 @@ from jax.experimental.pallas import tpu as pltpu
 from ..packing import LANES, PACK_BLOCK, PLANES
 
 DEFAULT_BLOCK_N = 512
+# int8 activation-quantization constants shared with ops.linear
+ACT_QMAX = 127.0
+ACT_EPS = 1e-8
+# largest m for the fused-activation-quant int8-MXU variant: the raw
+# activation row is staged as ONE full-width VMEM block per grid step
+# (m * k * 4B in f32), trivial at decode shapes
+FUSED_ACT_M_MAX = 64
 
 
 def _round_up(x: int, m: int) -> int:
@@ -255,6 +262,97 @@ def _w4a8_kernel(x_ref, w_ref, s_ref, z_ref, o_ref, acc_ref, *,
         o_ref[:] = acc_ref[:].astype(o_ref.dtype)
 
 
+def _w4a8f_kernel(x_ref, w_ref, s_ref, z_ref, o_ref, acc_ref, *,
+                  bn: int, nk: int, kbs: int):
+    """w4a8 with activation quantization fused into the kernel prologue.
+
+    The standalone w4a8 path pays two extra XLA ops per layer (the
+    per-row absmax int8 quantize before the kernel and the ``y * sx``
+    scale after it) -- measured at ~10 us of the 25.5 us/layer wall at
+    4096^2 m=1 (PERF_NOTES round 2d). At decode-shaped m the whole
+    activation row fits trivially in VMEM, so this variant takes the RAW
+    bf16/f32 activations as a full-width ``[mp, kp]`` block, computes the
+    per-row absmax scale in-register, quantizes the current k-chunk to
+    int8, runs the same exact integer dots, and folds ``sx`` into the
+    epilogue -- one dispatch, numerics identical to the external path
+    (same full-row absmax, same round/clip, same f32 scale point)."""
+    kc = pl.program_id(1)
+
+    @pl.when(kc == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    xf = x_ref[:].astype(jnp.float32)         # [mp, kp] full row
+    sx = jnp.maximum(jnp.max(jnp.abs(xf), axis=1, keepdims=True),
+                     ACT_EPS) / ACT_QMAX      # [mp, 1]
+    csz = kbs * PACK_BLOCK
+    # chunk via a dynamic ref slice (Mosaic lowers pl.ds on refs, not
+    # lax.dynamic_slice on loaded values)
+    xc = x_ref[:, pl.ds(kc * csz, csz)].astype(jnp.float32)
+    xq = jnp.clip(jnp.round(xc / sx), -ACT_QMAX, ACT_QMAX).astype(jnp.int8)
+
+    w = w_ref[:]                              # [bn//4, kbs*512] int32
+    acc = acc_ref[:]
+    for b in range(kbs * 4):                  # 256-k word blocks
+        wb = w[:, b * 128:(b + 1) * 128]
+        for p in range(2):
+            g = b * 2 + p                     # 128-wide scale row index
+            t = (wb if p == 0 else
+                 jax.lax.shift_right_logical(wb, 4)) & 0x0F0F0F0F
+            cw = pltpu.bitcast(t, jnp.int8)
+            xg = xq[:, g * 128:(g + 1) * 128]
+            part = jax.lax.dot_general(
+                xg, cw, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            sg = s_ref[g:g + 1, :].astype(jnp.float32)
+            zg = z_ref[g:g + 1, :].astype(jnp.float32)
+            xs = jnp.sum(xg.astype(jnp.int32), axis=1,
+                         keepdims=True).astype(jnp.float32)
+            acc = acc + part.astype(jnp.float32) * sg \
+                + xs * (zg - 8.0 * sg)
+    acc_ref[:] = acc
+
+    @pl.when(kc == nk - 1)
+    def _():
+        o_ref[:] = (acc_ref[:] * sx).astype(o_ref.dtype)
+
+
+def _w8a8f_kernel(x_ref, w_ref, s_ref, z_ref, o_ref, acc_ref, *,
+                  bn: int, nk: int, kbs: int):
+    """w8a8 with fused activation quantization (see _w4a8f_kernel)."""
+    kc = pl.program_id(1)
+
+    @pl.when(kc == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    xf = x_ref[:].astype(jnp.float32)
+    sx = jnp.maximum(jnp.max(jnp.abs(xf), axis=1, keepdims=True),
+                     ACT_EPS) / ACT_QMAX
+    csz = kbs * PACK_BLOCK
+    xc = x_ref[:, pl.ds(kc * csz, csz)].astype(jnp.float32)
+    xq = jnp.clip(jnp.round(xc / sx), -ACT_QMAX, ACT_QMAX).astype(jnp.int8)
+
+    w = w_ref[:]                              # [bn, kbs*1024] int8
+    acc = acc_ref[:]
+    for g in range(kbs * 8):                  # 128-wide groups
+        wg = w[:, g * 128:(g + 1) * 128]
+        xg = xq[:, g * 128:(g + 1) * 128]
+        part = jax.lax.dot_general(
+            xg, wg, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        sg = s_ref[g:g + 1, :].astype(jnp.float32)
+        zg = z_ref[g:g + 1, :].astype(jnp.float32)
+        xs = jnp.sum(xg.astype(jnp.int32), axis=1,
+                     keepdims=True).astype(jnp.float32)
+        acc = acc + part.astype(jnp.float32) * sg + xs * zg
+    acc_ref[:] = acc
+
+    @pl.when(kc == nk - 1)
+    def _():
+        o_ref[:] = (acc_ref[:] * sx).astype(o_ref.dtype)
+
+
 def _w8a8_kernel(x_ref, w_ref, s_ref, z_ref, o_ref, acc_ref, *,
                  bn: int, nk: int, kbs: int):
     """int8 weights x int8 activations on the int8 MXU (fmt="w8a8"):
@@ -363,9 +461,15 @@ def quantized_matmul_padded(
     mp, kp = x.shape
     np_ = packed.shape[0] * (2 if fmt == "int4p" else
                              4 if fmt == "w4a8" else 1)
-    if fmt in ("w4a8", "w8a8"):
-        assert x.dtype == jnp.int8, \
-            f"{fmt} takes pre-quantized int8 activations, got {x.dtype}"
+    # int8-MXU formats: int8 x -> pre-quantized activations (external
+    # quantize_activations, prefill); float x -> activation quantization
+    # fused into the kernel (decode; one dispatch, no separate absmax /
+    # round / post-scale XLA ops)
+    act_fused = fmt in ("w4a8", "w8a8") and x.dtype != jnp.int8
+    if act_fused:
+        assert mp <= FUSED_ACT_M_MAX, \
+            f"fused activation quant stages the full [m={mp}, k={kp}] row " \
+            f"in VMEM; quantize externally above m={FUSED_ACT_M_MAX}"
     assert kp % PACK_BLOCK == 0 and (mp <= 16 or mp % 16 == 0)
     assert np_ % block_n == 0
     nkb = kp // PACK_BLOCK
@@ -402,6 +506,8 @@ def quantized_matmul_padded(
         wspec = pl.BlockSpec((block_n, kbs * kw), lambda i, kc: (i, kc),
                              memory_space=pltpu.VMEM)
     in_specs = [
+        pl.BlockSpec((mp, kp), lambda i, kc: (0, 0),
+                     memory_space=pltpu.VMEM) if act_fused else
         pl.BlockSpec((mp, kbs * PACK_BLOCK), lambda i, kc: (0, kc),
                      memory_space=pltpu.VMEM),
         wspec,
@@ -422,11 +528,13 @@ def quantized_matmul_padded(
             "w4a8 needs group_size a multiple of 128 (plane-constant " \
             "scales for the post-dot affine)"
         assert block_n % 4 == 0
-        kern = functools.partial(_w4a8_kernel, bn=block_n, nk=nk, kbs=kbs)
+        kern = functools.partial(_w4a8f_kernel if act_fused else _w4a8_kernel,
+                                 bn=block_n, nk=nk, kbs=kbs)
     elif fmt == "w8a8":
         assert group_size % LANES == 0, \
             "w8a8 needs group_size a multiple of 128"
-        kern = functools.partial(_w8a8_kernel, bn=block_n, nk=nk, kbs=kbs)
+        kern = functools.partial(_w8a8f_kernel if act_fused else _w8a8_kernel,
+                                 bn=block_n, nk=nk, kbs=kbs)
     elif fmt in ("any4", "lut4", "int4"):
         if fmt == "any4":
             in_specs.append(pl.BlockSpec((block_n, 16), lambda i, kc: (i, 0),
@@ -507,9 +615,10 @@ def quantized_matmul(
 
     orig_shape = x.shape
     if fmt in ("w4a8", "w8a8"):
-        assert x.dtype == jnp.int8, \
-            f"{fmt} takes pre-quantized int8 activations (see " \
-            f"ops.linear.quantize_activations), got {x.dtype}"
+        # int8 activations were quantized externally
+        # (ops.linear.quantize_activations); a float dtype selects the
+        # fused in-kernel activation quantization (kept in its original
+        # precision -- the kernel's absmax/round run in f32 either way)
         x2 = x.reshape(-1, orig_shape[-1])
     else:
         x2 = x.reshape(-1, orig_shape[-1]).astype(jnp.bfloat16)

@@ -90,12 +90,20 @@ def quantize_model(
     calibrate_fn: Optional[Callable] = None,
     progress: bool = False,
     row_parallel_shards: int = 1,
+    quantize_embeddings: Union[bool, str, None] = None,
     **kwargs,
 ) -> Dict:
     """Quantize every targeted linear weight in a parameter pytree.
 
     - ``skip_modules``: leaf names (final path component or full dotted path)
       to leave dense; defaults to the LM head (reference quantize.py:36).
+    - ``quantize_embeddings``: also quantize ``embed_tokens`` tables -- a
+      format name, or True to reuse ``fmt``. Token lookup becomes a row
+      gather + dequant (ops.linear.embedding_lookup) and a *tied* LM head
+      runs the fused quantized kernel off the same packed table -- at
+      decode the vocab matmul's HBM read drops 2x (w8a8) / ~4x (4-bit).
+      No reference analog (its tinygemm only swaps nn.Linear modules);
+      restricted to row-gatherable packings (ops.linear.EMBED_FMTS).
     - ``pseudo``: fake-quantization -- store the dequantized reconstruction
       as a dense array (reference ``pseudo=True`` path, quantize.py:838-870).
     - ``sample_weight``: a dict ``{layer_name: [k] activations}``, a single
@@ -159,6 +167,29 @@ def quantize_model(
             setter(lin.dequantize_tensor(qt, dtype=leaf.dtype))
         else:
             setter(qt)
+    if quantize_embeddings:
+        efmt = fmt if quantize_embeddings is True else str(quantize_embeddings)
+        if efmt == "anyq":
+            efmt = "any4"
+        elif efmt == "intq":
+            efmt = "int4"
+        assert efmt in lin.EMBED_FMTS, \
+            f"quantize_embeddings needs a row-gatherable packing, one of " \
+            f"{lin.EMBED_FMTS}; got {efmt!r}"
+        for name, leaf, setter in _walk(out):
+            if name.split(".")[-1] != "embed_tokens" \
+                    or getattr(leaf, "ndim", 0) != 2:
+                continue
+            ekw = {}
+            if efmt == "any4":
+                ekw = {k: v for k, v in kwargs.items()
+                       if k in ("kmeans_iters", "init", "keep_outliers",
+                                "per_row", "row_chunk")}
+            qt = lin.quantize_tensor(leaf, efmt, group_size, **ekw)
+            if progress:
+                print(f"  quantized {name} {leaf.shape} -> {efmt}")
+            setter(lin.dequantize_tensor(qt, dtype=leaf.dtype)
+                   if pseudo else qt)
     return out
 
 

@@ -101,11 +101,11 @@ def _decode_impl(params, cfg, tokens, seq_lens, tables, k_pages, v_pages,
     (the new token's position); tables: [b, pps].
     Returns (logits [b, vocab], k_pages, v_pages).
     """
+    from ..ops import linear as lin
     b = tokens.shape[0]
     positions = seq_lens[:, None]                   # [b, 1]
     cos, sin = llama.rope_tables(cfg, positions)
-    x = jnp.take(params["embed_tokens"], tokens[:, None],
-                 axis=0).astype(cfg.dtype)
+    x = lin.embed(params["embed_tokens"], tokens[:, None], cfg.dtype)
 
     # per-slot write target for the new token
     page_ids = jnp.take_along_axis(
@@ -118,7 +118,6 @@ def _decode_impl(params, cfg, tokens, seq_lens, tables, k_pages, v_pages,
     new_k, new_v = list(k_pages), list(v_pages)
     for li, layer in enumerate(params["layers"]):
         h = llama.rms_norm(x, layer["input_layernorm"], cfg.rms_norm_eps)
-        from ..ops import linear as lin
         if "qkv_proj" in layer:  # fused projections (models/fuse.py)
             qkv = lin.linear(h, layer["qkv_proj"], layer.get("qkv_bias"))
             q = qkv[..., :nq * hd]
@@ -151,6 +150,10 @@ def _decode_impl(params, cfg, tokens, seq_lens, tables, k_pages, v_pages,
     x = llama.rms_norm(x, params["norm"], cfg.rms_norm_eps)
     if "lm_head" in params:
         logits = lin.linear(x, params["lm_head"])
+    elif isinstance(params["embed_tokens"], lin.QuantizedTensor):
+        # tied quantized embeddings: fused quantized kernel off the same
+        # packed table the lookup gathers (models/llama.py does the same)
+        logits = lin.linear(x, params["embed_tokens"])
     else:
         logits = x @ params["embed_tokens"].T.astype(x.dtype)
     return logits[:, -1, :], new_k, new_v

@@ -69,13 +69,12 @@ def build_chain(fmt, x, stacks, shape, kernel_fmt, reps):
             return a @ ws[i].T
     elif fmt in ("w4a8", "w8a8"):
         def layer(a, st, i):
-            from any4_tpu.ops import linear as lin
+            # float input -> activation quantization fused in-kernel
+            # (one dispatch per layer; PERF_NOTES round 2d gap analysis)
             p, s, z, l = st
-            xq, sx = lin.quantize_activations(a)
-            y = gemv.quantized_matmul(
-                xq, p[i], s[i], z[i], None, fmt=fmt, group_size=128,
-                n=N, out_dtype=jnp.float32)
-            return (y * sx).astype(jnp.bfloat16)
+            return gemv.quantized_matmul(
+                a, p[i], s[i], z[i], None, fmt=fmt, group_size=128,
+                n=N, out_dtype=jnp.bfloat16)
     elif fmt == "int8p":
         def layer(a, st, i):
             # duplicate each 128-wide x group for the split-byte planes
@@ -215,7 +214,7 @@ def main():
     # attach the north-star e2e artifact (tokens/s/chip quantized decode,
     # tools/bench_decode.py) when a recorded run exists
     decode = {}
-    for fmt in ("int4p", "any4"):
+    for fmt in ("w4a8", "int4p", "any4"):
         for tag in ("burst256", "burst", "r2b", "r2"):
             try:
                 with open(f"benchmarks/bench_decode_1b_{fmt}_{tag}.log") as f:

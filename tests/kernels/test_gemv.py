@@ -417,6 +417,30 @@ class TestW4A8:
         _assert_close(np.asarray(y, np.float32),
                       np.asarray(y0, np.float32), tol=1e-3)
 
+    @pytest.mark.parametrize("fmt", ["w4a8", "w8a8"])
+    def test_fused_act_quant_matches_external(self, fmt):
+        # decode-shaped m fuses the per-row absmax int8 quantize and the
+        # y*sx post-scale into the kernel (gemv._w4a8f_kernel); the math
+        # (full-row absmax, f32 round/clip, f32 scale point) is identical
+        # to the external quantize_activations path, so outputs must agree
+        # to f32 accumulation-order tolerance at every k-chunk count
+        from any4_tpu.ops.pallas import gemv
+        n, k = 128, 4096
+        w = jax.random.normal(jax.random.PRNGKey(98), (n, k))
+        qt = lin.quantize_tensor(w, fmt, group_size=128)
+        for m in (1, 16, gemv.FUSED_ACT_M_MAX):
+            x = jax.random.normal(jax.random.PRNGKey(99 + m), (m, k))
+            y_fused = gemv.quantized_matmul(
+                x, qt.packed, qt.scales, qt.zeros, None, fmt=fmt,
+                group_size=128, n=n, out_dtype=jnp.float32,
+                interpret=INTERPRET)
+            xq, sx = lin.quantize_activations(x)
+            y_ext = gemv.quantized_matmul(
+                xq, qt.packed, qt.scales, qt.zeros, None, fmt=fmt,
+                group_size=128, n=n, out_dtype=jnp.float32,
+                interpret=INTERPRET) * sx
+            _assert_close(np.asarray(y_fused), np.asarray(y_ext), tol=1e-5)
+
 
 class TestW8A8:
     """int8 weights x int8 activations (fmt='w8a8'): the packed array IS

@@ -264,3 +264,101 @@ class TestFusedProjections:
         o1 = generate.generate(params, cfg, ids, max_new_tokens=4)
         o2 = generate.generate(fused, cfg, ids, max_new_tokens=4)
         np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2))
+
+
+class TestQuantizedEmbeddings:
+    """Quantized (tied) embedding tables: row-gather lookup + fused
+    quantized LM-head matmul off the same packed table. No reference
+    analog (tinygemm only swaps nn.Linear modules); on TPU this halves
+    (w8a8) / quarters (4-bit) the decode-time HBM read of the vocab
+    matmul, which profiling showed at ~15% of the 1B decode step
+    (benchmarks/profile_decode_1b_int4p.json)."""
+
+    @pytest.fixture(scope="class")
+    def tied(self):
+        cfg = llama.LlamaConfig(
+            vocab_size=256, hidden_size=128, intermediate_size=256,
+            num_hidden_layers=2, num_attention_heads=4,
+            num_key_value_heads=2, max_position_embeddings=512,
+            tie_word_embeddings=True)
+        params = llama.init_params(cfg, jax.random.PRNGKey(0))
+        return cfg, params
+
+    @pytest.mark.parametrize("efmt", ["int8", "w8a8", "nf4", "any4"])
+    def test_lookup_matches_dequant_rows(self, tied, efmt):
+        cfg, params = tied
+        kw = dict(kmeans_iters=4) if efmt == "any4" else {}
+        qt = lin.quantize_tensor(params["embed_tokens"], efmt,
+                                 group_size=128, **kw)
+        ids = jax.random.randint(jax.random.PRNGKey(2), (2, 5), 0,
+                                 cfg.vocab_size)
+        out = lin.embedding_lookup(qt, ids)
+        full = lin.dequantize_tensor(qt)
+        ref = np.asarray(full)[np.asarray(ids)]
+        np.testing.assert_allclose(np.asarray(out, np.float32),
+                                   ref.astype(np.float32),
+                                   atol=1e-6, rtol=1e-6)
+
+    def test_tied_forward_close_to_dequant_reference(self, tied):
+        cfg, params = tied
+        qe = lin.quantize_tensor(params["embed_tokens"], "w8a8",
+                                 group_size=128)
+        qparams = dict(params, embed_tokens=qe)
+        ids = jax.random.randint(jax.random.PRNGKey(3), (2, 6), 0,
+                                 cfg.vocab_size)
+        logits_q, _ = llama.forward(qparams, cfg, ids)
+        # reference: same dequantized table used densely (isolates the
+        # int8-activation matmul noise, ~0.4% relative)
+        de = lin.dequantize_tensor(qe, dtype=params["embed_tokens"].dtype)
+        logits_ref, _ = llama.forward(dict(params, embed_tokens=de),
+                                      cfg, ids)
+        a = np.asarray(logits_q, np.float32)
+        b = np.asarray(logits_ref, np.float32)
+        denom = max(float(np.abs(b).max()), 1e-6)
+        assert float(np.abs(a - b).max()) / denom < 2e-2
+
+    def test_quantize_model_wiring(self, tied):
+        cfg, params = tied
+        qp = api.quantize_model(params, fmt="int4",
+                                quantize_embeddings=True)
+        assert isinstance(qp["embed_tokens"], lin.QuantizedTensor)
+        assert qp["embed_tokens"].fmt == "int4"
+        qp2 = api.quantize_model(params, fmt="w4a8",
+                                 quantize_embeddings="w8a8")
+        assert qp2["embed_tokens"].fmt == "w8a8"
+        ids = jax.random.randint(jax.random.PRNGKey(4), (1, 4), 0,
+                                 cfg.vocab_size)
+        logits, _ = llama.forward(qp2, cfg, ids)
+        assert logits.shape == (1, 4, cfg.vocab_size)
+
+    def test_generate_runs_quantized_embeddings(self, tied):
+        cfg, params = tied
+        qp = api.quantize_model(params, fmt="int8",
+                                quantize_embeddings="int8")
+        ids = jax.random.randint(jax.random.PRNGKey(5), (1, 4), 0,
+                                 cfg.vocab_size)
+        out = generate.generate(qp, cfg, ids, max_new_tokens=4)
+        assert out.shape == (1, 8)
+
+    def test_rejects_multi_row_packings(self, tied):
+        cfg, params = tied
+        with pytest.raises(AssertionError, match="row-gatherable"):
+            api.quantize_model(params, fmt="w4a8",
+                               quantize_embeddings=True)
+        qt = lin.quantize_tensor(params["embed_tokens"], "int4p",
+                                 group_size=128)
+        with pytest.raises(AssertionError):
+            lin.embedding_lookup(qt, jnp.zeros((1, 2), jnp.int32))
+
+    def test_checkpoint_roundtrip(self, tied):
+        cfg, params = tied
+        qp = api.quantize_model(params, fmt="int4",
+                                quantize_embeddings="w8a8")
+        with tempfile.TemporaryDirectory() as d:
+            checkpoint.save_params(d, qp)
+            loaded, _ = checkpoint.load_params(d)
+        qe = loaded["embed_tokens"]
+        assert isinstance(qe, lin.QuantizedTensor) and qe.fmt == "w8a8"
+        np.testing.assert_array_equal(
+            np.asarray(lin.dequantize_tensor(qp["embed_tokens"])),
+            np.asarray(lin.dequantize_tensor(qe)))

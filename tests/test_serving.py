@@ -485,3 +485,32 @@ class TestMixtralEngine:
         done = e.run()
         np.testing.assert_array_equal(np.asarray(done[0].out_tokens),
                                       np.asarray(ref[0, 3:]))
+
+
+class TestEngineQuantizedEmbeddings:
+    def test_engine_quantized_embeddings_matches_generate(self):
+        """Quantized (tied) embedding tables serve end-to-end: the engine's
+        decode step gathers token rows from the packed table and runs the
+        tied lm_head through the fused quantized kernel -- outputs must
+        match sequential generate on the same params exactly."""
+        from any4_tpu.quant import api
+        cfg = llama.LlamaConfig(vocab_size=128, hidden_size=128,
+                                intermediate_size=256,
+                                num_hidden_layers=2,
+                                num_attention_heads=2,
+                                num_key_value_heads=2, head_dim=64,
+                                tie_word_embeddings=True,
+                                dtype=jnp.float32)
+        params = llama.init_params(cfg, jax.random.PRNGKey(90))
+        qparams = api.quantize_model(params, fmt="w4a8", group_size=128,
+                                     quantize_embeddings="w8a8")
+        prompt = np.asarray(
+            jax.random.randint(jax.random.PRNGKey(91), (5,), 0,
+                               cfg.vocab_size))
+        ref = generate.generate(qparams, cfg, jnp.asarray(prompt[None]),
+                                max_new_tokens=5)
+        e = eng.Engine(qparams, cfg, max_slots=2, max_ctx=64, page_size=8)
+        e.submit(prompt, max_new_tokens=5)
+        done = e.run()
+        np.testing.assert_array_equal(np.asarray(done[0].out_tokens),
+                                      np.asarray(ref[0, 5:]))

@@ -116,6 +116,10 @@ def main():
     p.add_argument("--new-tokens", type=int, default=32)
     p.add_argument("--group-size", type=int, default=128)
     p.add_argument("--kmeans-iters", type=int, default=6)
+    p.add_argument("--quantize-embeddings", default=None,
+                   help="also quantize embed_tokens (e.g. w8a8): the tied "
+                        "lm_head then runs the fused int8-MXU kernel and "
+                        "its decode HBM read halves")
     p.add_argument("--skip-bf16", action="store_true")
     p.add_argument("--fuse", action="store_true",
                    help="fuse qkv / gate+up projections (fewer kernel "
@@ -145,6 +149,8 @@ def main():
 
     out = {"size": args.size, "batch": args.batch, "fused": args.fuse,
            "model_gb": round(nbytes / 1e9, 3)}
+    if args.quantize_embeddings:
+        out["quantize_embeddings"] = args.quantize_embeddings
     if args.fuse and not args.skip_bf16:
         params_run = fuse.fuse_projections(params)
     else:
@@ -153,7 +159,9 @@ def main():
     t0 = time.time()
     kw = dict(kmeans_iters=args.kmeans_iters) if args.fmt == "any4" else {}
     qp = api.quantize_model(params, fmt=args.fmt,
-                            group_size=args.group_size, **kw)
+                            group_size=args.group_size,
+                            quantize_embeddings=args.quantize_embeddings,
+                            **kw)
     if args.fuse:
         qp = fuse.fuse_projections(qp)
     if args.host_init:
