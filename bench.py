@@ -223,6 +223,21 @@ def main():
                             decode.setdefault(fmt, json.loads(ln))
             except (OSError, json.JSONDecodeError):
                 pass
+    # w4a8 + quantized (tied) embeddings: the fastest recorded decode
+    # config (the lm_head matmul reads w8a8 off the packed vocab table)
+    try:
+        with open("benchmarks/bench_decode_1b_w4a8_qemb_burst256.log") as f:
+            for ln in f:
+                if ln.startswith("{"):
+                    q = json.loads(ln)
+                    bf = decode.get("w4a8", {}).get("bf16_tok_s")
+                    decode["w4a8+qemb_w8a8"] = {
+                        "w4a8+qemb_w8a8_tok_s": q.get("w4a8_tok_s"),
+                        "bf16_tok_s": bf,
+                        "speedup": (round(q["w4a8_tok_s"] / bf, 3)
+                                    if bf and q.get("w4a8_tok_s") else None)}
+    except (OSError, json.JSONDecodeError, KeyError):
+        pass
     if decode:
         out["e2e_decode_1b"] = {
             k: {"tok_s": v.get(f"{k}_tok_s"), "bf16_tok_s": v.get("bf16_tok_s"),

@@ -260,6 +260,26 @@ class TestW4A8TP:
                                    np.asarray(ref, np.float32),
                                    atol=8e-2, rtol=8e-2)
 
+    def test_quantized_embeddings_tp_matches_single(self, tiny):
+        """Quantized (tied) embedding tables under TP: the table is
+        replicated, the lookup gathers per shard, and the tied lm_head
+        runs the fused quantized kernel on replicated weights after the
+        last row-parallel psum."""
+        cfg, params = tiny
+        qparams = api.quantize_model(params, fmt="int4", group_size=32,
+                                     row_parallel_shards=4,
+                                     quantize_embeddings="int8")
+        mesh = tp.make_mesh(dp=2, tp=4)
+        sharded, specs = tp.shard_params(qparams, mesh)
+        fwd = tp.make_tp_forward(cfg, mesh, specs)
+        ids = jax.random.randint(jax.random.PRNGKey(77), (2, 8), 0,
+                                 cfg.vocab_size)
+        ref, _ = llama.forward(qparams, cfg, ids, interpret=True)
+        out = fwd(sharded, ids)
+        np.testing.assert_allclose(np.asarray(out, np.float32),
+                                   np.asarray(ref, np.float32),
+                                   atol=5e-2, rtol=5e-2)
+
     def test_interleave_rows_w4a8(self):
         """Fused quad-packed weights permute WORD rows (four logical
         rows each)."""
