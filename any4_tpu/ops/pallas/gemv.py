@@ -169,6 +169,64 @@ def _q4_kernel(x_ref, w_ref, s_ref, z_ref, lut_ref, o_ref, acc_ref, *,
         o_ref[:] = acc_ref[:].astype(o_ref.dtype)
 
 
+def _q4post_kernel(x_ref, w_ref, s_ref, z_ref, lut_ref, o_ref, acc_ref, *,
+                   fmt: str, bn: int, nk: int, kbs: int):
+    """LUT formats with the affine applied POST-DOT (the production path
+    for any4/nf4/fp4/mx4 at group_size % 128 == 0).
+
+    The fused-table kernel (`_q4_kernel`) pays ~6 VPU ops per [bn, 128]
+    weight tile (table build amortized, index offset, gather, f32 FMA,
+    bf16 cast); hardware isolation (tools/probe_lut_variants.py, fast
+    regime) showed the gather itself is only ~27% of its runtime -- the
+    per-weight-element scale FMA and casts dominate. This kernel gathers
+    the RAW 16-entry codebook (no index arithmetic: the table tiles the
+    LUT every 16 lanes and codes are 0..15, so `take_along_axis(table,
+    codes)` hits the first tile), dots each 128-wide plane against the
+    bf16 codebook values, and applies each group's affine to the [m, bn]
+    partial instead of the [bn, 128] weight tile -- 128x less FMA work at
+    m=1, exactly the trick that makes int4p/w4a8 fast:
+    ``y += P*s + sum(x_g)*z`` with ``P = x_g @ lut[codes]^T``.
+
+    Numerics: the codebook is rounded to bf16 once pre-dot and the group
+    affine runs in f32 post-dot (the fused-table path instead rounds
+    ``lut*s+z`` to bf16 per element) -- same error class as the
+    reference's bf16 tensor-core MMA, tested against the dequant
+    reference at the shared kernel tolerance."""
+    kc = pl.program_id(1)
+
+    @pl.when(kc == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    lut = lut_ref[:].astype(jnp.float32)
+    if fmt != "any4":
+        lut = jnp.broadcast_to(lut, (bn, 16))
+    table = jnp.concatenate([lut] * (LANES // 16), axis=1)   # [bn, 128]
+
+    xb = x_ref[:]                       # [mp, kbs*1024] bf16
+    w = w_ref[:]                        # [bn, kbs*128] int32
+    acc = acc_ref[:]
+    for j in range(kbs * PLANES):
+        b, jj = divmod(j, PLANES)
+        wb = w[:, b * LANES:(b + 1) * LANES]
+        codes = (wb if jj == 0 else
+                 jax.lax.shift_right_logical(wb, 4 * jj)) & 0xF
+        v = jnp.take_along_axis(table, codes, axis=1).astype(jnp.bfloat16)
+        xg = xb[:, j * LANES:(j + 1) * LANES]
+        part = jax.lax.dot_general(
+            xg, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)              # [mp, bn]
+        sg = s_ref[j:j + 1, :].astype(jnp.float32)           # [1, bn]
+        zg = z_ref[j:j + 1, :].astype(jnp.float32)
+        xs = jnp.sum(xg.astype(jnp.float32), axis=1, keepdims=True)
+        acc = acc + part * sg + xs * zg
+    acc_ref[:] = acc
+
+    @pl.when(kc == nk - 1)
+    def _():
+        o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+
+
 def _q4pair_kernel(x_ref, w_ref, s_ref, z_ref, o_ref, acc_ref, *,
                    bn: int, nk: int, kbs: int):
     """Magic-number pair-packed int4 (fmt="int4p", packing.pack_int4_pair):
@@ -552,6 +610,11 @@ def quantized_matmul_padded(
                 "use_gather=False requires group_size a multiple of 128"
             kern = functools.partial(
                 _q4select_kernel, fmt=fmt, bn=block_n, nk=nk, kbs=kbs)
+        elif fmt in ("any4", "lut4") and group_size % LANES == 0:
+            # post-dot affine: raw-LUT gather + per-plane dots (2.3x the
+            # fused-table kernel at 4096^2 m=1; probe_lut_variants.py)
+            kern = functools.partial(
+                _q4post_kernel, fmt=fmt, bn=block_n, nk=nk, kbs=kbs)
         else:
             kern = functools.partial(
                 _q4_kernel, fmt=fmt, group_size=group_size, bn=block_n,

@@ -51,12 +51,11 @@ def _assert_close(y, ref, tol=2e-2):
 
 
 class TestIdentityMul:
-    @pytest.mark.parametrize("fmt", ["int4", "any4", "int8"])
+    @pytest.mark.parametrize("fmt", ["int4", "int8"])
     def test_identity(self, fmt):
         k = 1024
         w = jnp.eye(k, dtype=jnp.float32)
-        qt = lin.quantize_tensor(w, fmt, group_size=128, kmeans_iters=25) \
-            if fmt == "any4" else lin.quantize_tensor(w, fmt, group_size=128)
+        qt = lin.quantize_tensor(w, fmt, group_size=128)
         # the fused dequant table rounds lut*s+z to bf16 exactly like the
         # reference's dequantize-to-bf16-then-mma, so identity is EXACT in
         # the bf16 domain (reference test_identity_mul uses torch.equal)
@@ -66,6 +65,23 @@ class TestIdentityMul:
         np.testing.assert_array_equal(
             np.asarray(y.astype(jnp.float32)),
             np.asarray(x.astype(jnp.float32)))
+
+    def test_identity_any4(self):
+        # any4 runs the post-dot-affine kernel (gemv._q4post_kernel): the
+        # codebook is rounded to bf16 pre-dot and the group affine runs in
+        # f32 post-dot, so identity holds to bf16 rounding of the affine
+        # reconstruction rather than bit-exactly (the reference's
+        # torch.equal claim applies to its per-element bf16(lut*s+z)
+        # dequant, which is what our g<128 fused-table path still does)
+        k = 1024
+        w = jnp.eye(k, dtype=jnp.float32)
+        qt = lin.quantize_tensor(w, "any4", group_size=128, kmeans_iters=25)
+        x = jax.random.normal(jax.random.PRNGKey(0), (4, k),
+                              jnp.float32).astype(jnp.bfloat16)
+        y = _mm(x, qt, out_dtype=jnp.bfloat16)
+        np.testing.assert_allclose(
+            np.asarray(y.astype(jnp.float32)),
+            np.asarray(x.astype(jnp.float32)), rtol=2e-2, atol=2e-2)
 
 
 class TestGeneralK:
@@ -127,9 +143,12 @@ class TestGeneralMul:
     @pytest.mark.parametrize("fmt", ["int4", "any4", "nf4"])
     def test_select_variant_matches_gather(self, fmt):
         # use_gather=False runs the select-16 one-hot LUT contraction
-        # (measurement alternative to the production gather path,
-        # PERF_NOTES.md); both compute bf16(lut*s+z) per element, so they
-        # must agree bit-for-bit
+        # (measurement alternative to the production path, PERF_NOTES.md).
+        # int4 still runs the fused-table gather, which computes
+        # bf16(lut*s+z) per element exactly like the select variant ->
+        # bit-equal; any4/nf4 run the post-dot-affine kernel
+        # (_q4post_kernel), whose bf16 rounding point differs -> compare
+        # at the shared kernel tolerance instead.
         n, k = 256, 2048
         w = jax.random.normal(jax.random.PRNGKey(21), (n, k))
         kw = dict(kmeans_iters=6) if fmt == "any4" else {}
@@ -137,7 +156,10 @@ class TestGeneralMul:
         x = jax.random.normal(jax.random.PRNGKey(22), (2, k))
         yg = lin.linear(x, qt, interpret=True, use_gather=True)
         ys = lin.linear(x, qt, interpret=True, use_gather=False)
-        np.testing.assert_array_equal(np.asarray(yg), np.asarray(ys))
+        if fmt == "int4":
+            np.testing.assert_array_equal(np.asarray(yg), np.asarray(ys))
+        else:
+            _assert_close(yg, ys, tol=5e-3)
 
     def test_binary_weights_exact(self):
         # W in {0,1}: int4 grouping is exact, so the kernel must match the
