@@ -151,17 +151,24 @@ def measure(shape=(4096, 4096), fmts=FMTS, budget_s=420.0, rounds=6,
     probe = build_chain("bf16", x, mats["bf16"][1], shape, None, 1)
     probe()  # compile
     t1 = min(timed_exec(probe, ()) for _ in range(2)) - rtt
-    # an R=1 chain in the fast regime is sub-RTT-jitter (device ~0.7 ms vs
-    # ~40 ms fetch): a tiny/negative t1 just means "fast" -> max reps
-    t1 = max(t1, 1e-3)
-    reps = max(1, min(512, int(target_call_s / t1)))
+    # an R=1 chain in the fast regime is sub-RTT-jitter (device ~0.7 ms at
+    # 4096^2 vs ~40 ms fetch): floor the estimate at the ANALYTIC chain
+    # time at peak HBM bandwidth -- a true lower bound -- so small shapes
+    # get enough reps to dwarf the rtt (the old flat 1 ms floor + cap 512
+    # left K<=2048 calls below the rtt and the subtraction floored out,
+    # producing garbage ratios)
+    t1 = max(t1, LAYERS * N * K * 2 / 850e9)
+    reps = max(1, min(32768, int(target_call_s / t1)))
     bw = LAYERS * N * K * 2 / t1 / 1e9
     if verbose:
         print(f"calibration: rtt {rtt*1e3:.1f} ms, R=1 chain "
               f"{t1*1e3:.1f} ms ({bw:.0f} GB/s eff) -> reps={reps}",
               file=sys.stderr)
 
-    fns = {k: build_chain(k, x, st, shape, kf, reps)
+    # one reps for every format: a quantized chain is at most ~3x faster
+    # than bf16's >=target_call_s, so each call still dwarfs the rtt
+    reps_of = {k: reps for k in mats}
+    fns = {k: build_chain(k, x, st, shape, kf, reps_of[k])
            for k, (kf, st) in mats.items()}
     for f in fns.values():
         f()  # compile
@@ -173,7 +180,7 @@ def measure(shape=(4096, 4096), fmts=FMTS, budget_s=420.0, rounds=6,
             break
         for k, f in fns.items():
             best[k] = min(best[k], max(timed_exec(f, ()) - rtt, 1e-6))
-    per_layer = {k: v / (reps * LAYERS) for k, v in best.items()}
+    per_layer = {k: v / (reps_of[k] * LAYERS) for k, v in best.items()}
     eff_gbs = N * K * 2 / per_layer["bf16"] / 1e9
     return per_layer, eff_gbs
 
