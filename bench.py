@@ -69,19 +69,29 @@ def build_chain(fmt, x, stacks, shape, kernel_fmt, reps):
             return a @ ws[i].T
     elif fmt in ("w4a8", "w8a8"):
         def layer(a, st, i):
-            # float input -> activation quantization fused in-kernel
-            # (one dispatch per layer; PERF_NOTES round 2d gap analysis)
             p, s, z, l = st
-            return gemv.quantized_matmul(
-                a, p[i], s[i], z[i], None, fmt=fmt, group_size=128,
-                n=N, out_dtype=jnp.bfloat16)
+            if a.shape[0] <= gemv.FUSED_ACT_M_MAX:
+                # float input -> activation quantization fused in-kernel
+                # (one dispatch per layer; PERF_NOTES round 2d)
+                return gemv.quantized_matmul(
+                    a, p[i], s[i], z[i], None, fmt=fmt, group_size=128,
+                    n=N, out_dtype=jnp.bfloat16)
+            # larger m: external per-row absmax int8 quantize + post-scale
+            # (the production dispatch, ops.linear.linear)
+            from any4_tpu.ops import linear as lin
+            xq, sx = lin.quantize_activations(a)
+            y = gemv.quantized_matmul(
+                xq, p[i], s[i], z[i], None, fmt=fmt, group_size=128,
+                n=N, out_dtype=jnp.float32)
+            return (y * sx).astype(jnp.bfloat16)
     elif fmt == "int8p":
         def layer(a, st, i):
             # duplicate each 128-wide x group for the split-byte planes
             # (mirrors ops.linear.linear's int8p dispatch)
             p, s, z, l = st
-            xr = a.reshape(1, a.shape[-1] // 128, 128)
-            xq = jnp.repeat(xr, 2, axis=-2).reshape(1, 2 * a.shape[-1])
+            xr = a.reshape(a.shape[0], a.shape[-1] // 128, 128)
+            xq = jnp.repeat(xr, 2, axis=-2).reshape(
+                a.shape[0], 2 * a.shape[-1])
             return gemv.quantized_matmul(
                 xq, p[i], s[i], z[i], None,
                 fmt=kernel_fmt, group_size=128, n=N)
@@ -117,7 +127,7 @@ def build_chain(fmt, x, stacks, shape, kernel_fmt, reps):
 
 
 def measure(shape=(4096, 4096), fmts=FMTS, budget_s=420.0, rounds=6,
-            target_call_s=2.0, verbose=True):
+            target_call_s=2.0, verbose=True, m=1):
     """Interleaved minima of value-fetch-timed repeated chains.
     Returns (per-format best seconds per layer, bf16 effective GB/s)."""
     from any4_tpu.ops import linear as lin
@@ -125,7 +135,7 @@ def measure(shape=(4096, 4096), fmts=FMTS, budget_s=420.0, rounds=6,
     N, K = shape
     w = jax.random.normal(jax.random.PRNGKey(0), (N, K), jnp.float32)
     w = w * (K ** -0.5)
-    x = jax.random.normal(jax.random.PRNGKey(1), (1, K)).astype(jnp.bfloat16)
+    x = jax.random.normal(jax.random.PRNGKey(1), (m, K)).astype(jnp.bfloat16)
     stack = lambda a: None if a is None else jnp.stack([a] * LAYERS)
 
     mats = {"bf16": (None, (stack(w.astype(jnp.bfloat16)),))}
