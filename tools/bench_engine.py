@@ -31,6 +31,9 @@ def main():
     p.add_argument("--requests", type=int, default=16)
     p.add_argument("--group-size", type=int, default=128)
     p.add_argument("--kv-quantize", action="store_true")
+    p.add_argument("--quantize-embeddings", default=None,
+                   help="also quantize embed_tokens (e.g. w8a8): the tied "
+                        "lm_head then runs the fused quantized kernel")
     p.add_argument("--burst", type=int, default=1,
                    help="decode steps fused per dispatch "
                         "(Engine.step burst)")
@@ -50,6 +53,8 @@ def main():
     if args.fmt:
         kw = dict(kmeans_iters=4) if args.fmt == "any4" else {}
         t0 = time.time()
+        if args.quantize_embeddings:
+            kw["quantize_embeddings"] = args.quantize_embeddings
         params = api.quant_methods[args.fmt](
             params, group_size=args.group_size, **kw)
         print(f"quantized ({args.fmt}) in {time.time()-t0:.0f}s",
@@ -76,7 +81,8 @@ def main():
            "total_new_tokens": total_tokens,
            "wall_s": round(dt, 2),
            "tok_s": round(total_tokens / dt, 2),
-           "kv_quantize": args.kv_quantize, "burst": args.burst}
+           "kv_quantize": args.kv_quantize, "burst": args.burst,
+           "quantize_embeddings": args.quantize_embeddings}
     print(json.dumps(out))
 
 
