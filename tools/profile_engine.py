@@ -30,6 +30,7 @@ def main():
     p.add_argument("--burst", type=int, default=8)
     p.add_argument("--bursts", type=int, default=4)
     p.add_argument("--top", type=int, default=20)
+    p.add_argument("--quantize-embeddings", default=None)
     args = p.parse_args()
 
     from any4_tpu.models import llama
@@ -39,7 +40,9 @@ def main():
     cfg = llama.LlamaConfig(**SIZES[args.size])
     params = llama.init_params(cfg, jax.random.PRNGKey(0))
     if args.fmt != "bf16":
-        params = api.quantize_model(params, fmt=args.fmt)
+        params = api.quantize_model(
+            params, fmt=args.fmt,
+            quantize_embeddings=args.quantize_embeddings)
     e = eng.Engine(params, cfg, max_slots=args.slots, max_ctx=args.ctx,
                    page_size=16)
     rng = np.random.RandomState(0)
