@@ -1,0 +1,224 @@
+"""Quantizer parity against the reference implementation itself.
+
+The reference (/root/reference, facebookresearch/any4) is importable with
+CPU torch in this container, so the uniform quantizers can be pinned
+BIT-FOR-BIT and the k-means LUT pipeline pinned to matching
+reconstruction quality on identical matrices — the offline stand-in for
+the reference's golden perplexity regression (tests/test_accuracy.py:22)
+until the full eval stack can run (VERDICT r2 missing #1).
+
+Covered:
+- ``group_quantize`` vs ``tinygemm_lib.utils.group_quantize_tensor``
+  (codes + scales_and_zeros exact)
+- asym/symmetric/int_zeros ``group_q``/``group_q1`` variants
+  (quantize.py:106-331) vs our flags (exact)
+- ``intq_quantize_tensor`` reconstruction (exact)
+- ``anyq_quantize_tensor`` (parallelize=False, sklearn backend) vs
+  ``any4_quantize``: per-row LUT reconstruction W-MSE within 1%
+  relative (k-means seeds/inits differ; exact equality is not defined)
+- anyq exactness: <=16 distinct group-normalized values per row -> both
+  implementations reconstruct exactly.
+
+These tests run on CPU only and skip if the reference tree is absent.
+"""
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+REF = "/root/reference"
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REF), reason="reference tree not available")
+
+
+@pytest.fixture(scope="module")
+def ref():
+    """Import the reference quantize module with unused deps stubbed."""
+    sys.path.insert(0, REF)
+    for name in ("bitsandbytes", "tinygemm"):
+        sys.modules.setdefault(name, types.ModuleType(name))
+    import quantize as refq  # noqa: PLC0415
+    from tinygemm_lib import utils as refutils  # noqa: PLC0415
+    import torch  # noqa: PLC0415
+    ns = types.SimpleNamespace(q=refq, utils=refutils, torch=torch)
+    yield ns
+    sys.path.remove(REF)
+
+
+def _w(shape=(16, 256), seed=0, dtype=np.float32):
+    rng = np.random.default_rng(seed)
+    return rng.normal(size=shape).astype(dtype)
+
+
+class TestGroupQuantParity:
+    def test_group_quantize_tensor_exact(self, ref):
+        from any4_tpu.ops import quant as q
+        w = _w((32, 512), seed=1)
+        codes, scales, zeros = q.group_quantize(w, n_bit=4, group_size=128)
+        sz = np.asarray(q.pack_scales_and_zeros(scales, zeros))
+
+        t = ref.torch.from_numpy(w)
+        ref_codes, ref_sz = ref.utils.group_quantize_tensor(t, 4, 128)
+        np.testing.assert_array_equal(np.asarray(codes, np.int32),
+                                      ref_codes.numpy())
+        np.testing.assert_array_equal(sz, ref_sz.float().numpy())
+
+    @pytest.mark.parametrize("n_bit,g", [(4, 64), (4, 128), (8, 128),
+                                         (2, 32), (4, 256)])
+    def test_group_q_asym_exact(self, ref, n_bit, g):
+        """Un-rounded group normalization (the anyq clustering domain)
+        matches reference group_q bit-for-bit (quantize.py:106-149)."""
+        from any4_tpu.ops import quant as q
+        w = _w((8, 512), seed=n_bit * 10 + g)
+        wq_f, scales, zeros = q.group_codes_float(w, n_bit, g)
+        t = ref.torch.from_numpy(w)
+        ref_wnew, _, ref_sz = ref.q.group_q(t, n_bit, q_group_size=g)
+        np.testing.assert_array_equal(np.asarray(wq_f), ref_wnew.numpy())
+        sz = np.asarray(q.pack_scales_and_zeros(scales, zeros))
+        np.testing.assert_array_equal(sz, ref_sz.float().numpy())
+
+    def test_group_q_symmetric_exact(self, ref):
+        from any4_tpu.ops import quant as q
+        w = _w((8, 256), seed=7)
+        codes, scales, zeros = q.group_quantize(
+            w, n_bit=4, group_size=128, symmetric=True)
+        t = ref.torch.from_numpy(w)
+        ref_wnew, _, ref_sz = ref.q.group_q(
+            t, 4, q_group_size=128, assymetric=False)
+        s_ref, z_ref = ref_sz[..., 0].T.numpy(), ref_sz[..., 1].T.numpy()
+        np.testing.assert_array_equal(np.asarray(scales), s_ref)
+        np.testing.assert_array_equal(np.asarray(zeros), z_ref)
+        # reference leaves codes unrounded in group_q; round to compare.
+        # symmetric codes in the reference are NOT shifted by +8; our
+        # convention stores code+8 so reconstruction shares one formula.
+        ref_codes = np.clip(np.round(ref_wnew.numpy()) + 8, 0, 15)
+        np.testing.assert_array_equal(np.asarray(codes, np.float64),
+                                      ref_codes)
+
+    def test_group_q1_int_zeros_exact(self, ref):
+        from any4_tpu.ops import quant as q
+        w = _w((8, 256), seed=11)
+        codes, scales, zeros = q.group_quantize(
+            w, n_bit=4, group_size=64, int_zeros=True)
+        t = ref.torch.from_numpy(w)
+        ref_q, ref_scales, ref_zq = ref.q.group_q1(
+            t, n_bit=4, q_group_size=64, assymetric=True, get_scale_zp=True)
+        # reference returns UN-rounded codes (w/s + zq, clamped); rounding
+        # commutes with the integer zero-point for non-tie values
+        np.testing.assert_array_equal(
+            np.asarray(codes, np.int32),
+            np.round(ref_q.numpy()).astype(np.int32))
+        np.testing.assert_array_equal(
+            np.asarray(scales), ref_scales.view(w.shape[0], -1).numpy())
+        # our zeros fold the integer zero-point: z = (8 - zq) * scale
+        zq = ref_zq.view(w.shape[0], -1).numpy()
+        sc = ref_scales.view(w.shape[0], -1).numpy()
+        np.testing.assert_allclose(np.asarray(zeros), (8.0 - zq) * sc,
+                                   rtol=1e-6, atol=1e-7)
+
+    def test_reconstruction_matches_degroup(self, ref):
+        from any4_tpu.ops import quant as q
+        w = _w((8, 256), seed=3)
+        codes, scales, zeros = q.group_quantize(w, n_bit=4, group_size=128)
+        recon = np.asarray(q.group_dequantize(codes, scales, zeros,
+                                              n_bit=4, group_size=128))
+        t = ref.torch.from_numpy(w)
+        ref_codes, ref_sz = ref.utils.group_quantize_tensor(t, 4, 128)
+        ref_recon = ref.q.degroup_q(
+            ref_codes.float(), ref_sz.float(), centering=True,
+            q_group_size=128)
+        np.testing.assert_allclose(recon, ref_recon.numpy(),
+                                   rtol=1e-6, atol=1e-6)
+
+
+class TestIntqParity:
+    def test_intq_reconstruct_exact(self, ref):
+        from any4_tpu.ops import quant as q
+        w = _w((8, 256), seed=5)
+        t = ref.torch.from_numpy(w)
+        ref_recon = ref.q.intq_reconstruct_tensor(
+            t, n_bit=4, q_group_size=128, dtype=ref.torch.float32)
+        codes, scales, zeros = q.group_quantize(w, n_bit=4, group_size=128)
+        recon = np.asarray(q.group_dequantize(codes, scales, zeros,
+                                              n_bit=4, group_size=128))
+        np.testing.assert_allclose(recon, ref_recon.numpy(),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def _wmse(w, recon):
+    return float(np.mean((w - recon) ** 2))
+
+
+class TestAnyqParity:
+    def test_anyq_wmse_within_1pct(self, ref):
+        """Same matrix through both any4 pipelines: reconstruction W-MSE
+        must agree within 1% relative (reference quantize.py:523-637)."""
+        from any4_tpu.ops import quant as q
+        from any4_tpu.quant import anyq
+        w = _w((16, 512), seed=17)
+
+        t = ref.torch.from_numpy(w)
+        assign, lut_ref, _ = ref.q.anyq_quantize_tensor(
+            t, n_bit=4, q_group_size=128, parallelize=False)
+        ref_recon = ref.q.anyq_dequantize_tensor(
+            assign, lut_ref, ref.q.group_q(t, 4, 128)[2],
+            q_group_size=128).numpy()
+        ref_mse = _wmse(w, ref_recon)
+
+        codes, lut, scales, zeros = anyq.any4_quantize(
+            w, n_bit=4, group_size=128, kmeans_iters=50, n_init=3)
+        recon = np.asarray(q.anyq_dequantize(
+            codes, lut, scales, zeros, n_bit=4, group_size=128))
+        mse = _wmse(w, recon)
+
+        assert mse <= ref_mse * 1.01, (mse, ref_mse)
+        # sanity: both should beat plain int4 rounding
+        c4, s4, z4 = q.group_quantize(w, n_bit=4, group_size=128)
+        int4_mse = _wmse(w, np.asarray(q.group_dequantize(
+            c4, s4, z4, n_bit=4, group_size=128)))
+        assert mse < int4_mse and ref_mse < int4_mse
+
+    def test_anyq_exact_when_16_values(self, ref):
+        """Rows built from exactly 16 distinct group-normalized values
+        reconstruct exactly in both implementations (the reference's
+        test_anyq.py:39-49 exactness property)."""
+        from any4_tpu.ops import quant as q
+        from any4_tpu.quant import anyq
+        rng = np.random.default_rng(23)
+        vals = np.sort(rng.normal(size=16)).astype(np.float32)
+        w = vals[rng.integers(0, 16, (4, 128))].astype(np.float32)
+        # one group per row -> group normalization is a per-row affine,
+        # preserving "16 distinct values per row"
+        codes, lut, scales, zeros = anyq.any4_quantize(
+            w, n_bit=4, group_size=128, kmeans_iters=100, n_init=4)
+        recon = np.asarray(q.anyq_dequantize(
+            codes, lut, scales, zeros, n_bit=4, group_size=128))
+        np.testing.assert_allclose(recon, w, rtol=0, atol=2e-5)
+
+        t = ref.torch.from_numpy(w)
+        assign, lut_ref, _ = ref.q.anyq_quantize_tensor(
+            t, n_bit=4, q_group_size=128, parallelize=False)
+        ref_recon = ref.q.anyq_dequantize_tensor(
+            assign, lut_ref, ref.q.group_q(t, 4, 128)[2],
+            q_group_size=128).numpy()
+        np.testing.assert_allclose(ref_recon, w, rtol=0, atol=2e-5)
+
+    def test_anyq_global_lut_wmse(self, ref):
+        """per_row=False (one global LUT, reference quantize.py:528-530)."""
+        from any4_tpu.ops import quant as q
+        from any4_tpu.quant import anyq
+        w = _w((8, 256), seed=29)
+        t = ref.torch.from_numpy(w)
+        assign, lut_ref, sz_ref = ref.q.anyq_quantize_tensor(
+            t, n_bit=4, q_group_size=128, per_row=False, parallelize=False)
+        ref_recon = ref.q.anyq_dequantize_tensor(
+            assign, lut_ref, sz_ref, q_group_size=128,
+            per_row=False).numpy()
+        codes, lut, scales, zeros = anyq.any4_quantize(
+            w, n_bit=4, group_size=128, per_row=False,
+            kmeans_iters=50, n_init=3)
+        recon = np.asarray(q.anyq_dequantize(
+            codes, lut, scales, zeros, n_bit=4, group_size=128))
+        assert _wmse(w, recon) <= _wmse(w, ref_recon) * 1.02
