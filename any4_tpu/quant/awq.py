@@ -28,16 +28,46 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops import quant
+from . import kmeans as _kmeans
 
 
-def pseudo_quantize(w: jax.Array, n_bit: int = 4,
-                    group_size: int = 128) -> jax.Array:
-    """Fake-quantize a weight with the framework's uniform grouped
-    quantizer (the AWQ search objective's inner quantizer; reference
-    quantizer.py pseudo_quantize_tensor)."""
-    codes, scales, zeros = quant.group_quantize(w, n_bit, group_size)
-    return quant.group_dequantize(codes, scales, zeros, n_bit,
-                                  group_size).astype(w.dtype)
+def pseudo_quantize(w: jax.Array, n_bit: int = 4, group_size: int = 128,
+                    numeric_type: str = "int") -> jax.Array:
+    """Fake-quantize a weight with the framework's quantizers — the AWQ
+    search objective's inner quantizer, dispatched over numeric_type like
+    the reference's ``pseudo_quantize_tensor`` (quantizer.py:157-176:
+    {int, any, nf4, fp4}), so the scale/clip search optimizes the SAME
+    format that will be deployed (AWQ+any4 is the combination the paper
+    ships). All branches are jit-safe (they run inside the search scans).
+
+    - ``int``: uniform grouped asymmetric (pseudo_int_quantize_tensor)
+    - ``any4``/``any``: per-row k-means LUT in the group-normalized
+      domain (pseudo_any_quantize_tensor, quantizer.py:276-323). Uses the
+      deterministic linspace init with a short Lloyd run — the search
+      only needs relative ordering of candidates; the final deployment
+      quantization runs the full pipeline.
+    - ``nf4``/``fp4``: absmax fixed-codebook rounding (nf4_round/
+      fp4_round, quantizer.py:133-154).
+    """
+    if numeric_type == "int":
+        codes, scales, zeros = quant.group_quantize(w, n_bit, group_size)
+        return quant.group_dequantize(codes, scales, zeros, n_bit,
+                                      group_size).astype(w.dtype)
+    if numeric_type in ("any", "any4"):
+        wg, scales, zeros = quant.group_codes_float(w, n_bit, group_size)
+        lut, assign = _kmeans.kmeans_rows(
+            wg, n_clusters=2 ** n_bit, init="int", iters=8,
+            row_chunk=wg.shape[0])
+        vals = jnp.take_along_axis(lut, assign, axis=1)
+        vg = vals.reshape(w.shape[0], -1, group_size) - 2 ** (n_bit - 1)
+        wdeq = vg * scales[..., None] + zeros[..., None]
+        return wdeq.reshape(w.shape).astype(w.dtype)
+    if numeric_type in ("nf4", "fp4"):
+        codes, scales = quant.lut_quantize(w, fmt=numeric_type,
+                                           group_size=group_size)
+        return quant.lut_dequantize(codes, scales, fmt=numeric_type,
+                                    group_size=group_size).astype(w.dtype)
+    raise ValueError(f"unsupported numeric_type {numeric_type!r}")
 
 
 def _group_output(x: jax.Array, ws: List[jax.Array]) -> jax.Array:
@@ -54,8 +84,9 @@ def _candidate_scale(x_max: jax.Array, ratio) -> jax.Array:
 
 
 @functools.partial(jax.jit, static_argnames=("n_grid", "n_bit",
-                                             "group_size"))
-def _scale_search_mses(x, weights, x_max, n_grid, n_bit, group_size):
+                                             "group_size", "numeric_type"))
+def _scale_search_mses(x, weights, x_max, n_grid, n_bit, group_size,
+                       numeric_type):
     """One compiled program evaluates the WHOLE ratio grid with lax.scan
     (the reference loops candidates in Python with a device sync each,
     auto_scale.py:109-156 -- per-candidate dispatch would dominate at
@@ -65,7 +96,8 @@ def _scale_search_mses(x, weights, x_max, n_grid, n_bit, group_size):
     def body(_, ratio):
         s = _candidate_scale(x_max, ratio)
         ws_q = [pseudo_quantize(w.astype(jnp.float32) * s[None, :],
-                                n_bit, group_size) / s[None, :]
+                                n_bit, group_size, numeric_type)
+                / s[None, :]
                 for w in weights]
         y = _group_output(x, ws_q)
         return None, jnp.mean((y - y_ref) ** 2)
@@ -76,8 +108,8 @@ def _scale_search_mses(x, weights, x_max, n_grid, n_bit, group_size):
 
 
 def search_scale(x: jax.Array, weights: List[jax.Array], n_grid: int = 20,
-                 n_bit: int = 4, group_size: int = 128
-                 ) -> Tuple[jax.Array, float]:
+                 n_bit: int = 4, group_size: int = 128,
+                 numeric_type: str = "int") -> Tuple[jax.Array, float]:
     """Grid-search the best per-channel scale for a group of linears that
     share the input ``x`` [t, k]. Returns (scales [k], best_ratio).
 
@@ -88,21 +120,23 @@ def search_scale(x: jax.Array, weights: List[jax.Array], n_grid: int = 20,
     x = x.astype(jnp.float32)
     x_max = jnp.mean(jnp.abs(x), axis=tuple(range(x.ndim - 1))) + 1e-8
     mses = _scale_search_mses(x, tuple(weights), x_max, n_grid, n_bit,
-                              group_size)
+                              group_size, numeric_type)
     best_i = int(jnp.argmin(mses))
     ratio = best_i / n_grid
     return _candidate_scale(x_max, ratio), ratio
 
 
 @functools.partial(jax.jit, static_argnames=("n_grid", "min_ratio",
-                                             "n_bit", "group_size"))
-def _clip_search_mses(x, w32, n_grid, min_ratio, n_bit, group_size):
+                                             "n_bit", "group_size",
+                                             "numeric_type"))
+def _clip_search_mses(x, w32, n_grid, min_ratio, n_bit, group_size,
+                      numeric_type):
     y_ref = x @ w32.T
     absmax = jnp.abs(w32).max(axis=1, keepdims=True)
 
     def body(_, ratio):
         clipped = jnp.clip(w32, -absmax * ratio, absmax * ratio)
-        wq = pseudo_quantize(clipped, n_bit, group_size)
+        wq = pseudo_quantize(clipped, n_bit, group_size, numeric_type)
         return None, jnp.mean((x @ wq.T - y_ref) ** 2)
 
     idx = jnp.arange(n_grid, dtype=jnp.float32)
@@ -114,13 +148,15 @@ def _clip_search_mses(x, w32, n_grid, min_ratio, n_bit, group_size):
 def search_clip(x: jax.Array, w: jax.Array, n_grid: int = 20,
                 min_ratio: float = 0.5, n_bit: int = 4,
                 group_size: int = 128,
-                return_ratio: bool = False):
+                return_ratio: bool = False,
+                numeric_type: str = "int"):
     """Grid-search per-row max-magnitude clipping minimizing output MSE
     (reference auto_clip.py:11-66), as one jitted scan. Returns the
     clipped weight (and the winning ratio when ``return_ratio``)."""
     x = x.astype(jnp.float32)
     w32 = w.astype(jnp.float32)
-    mses = _clip_search_mses(x, w32, n_grid, min_ratio, n_bit, group_size)
+    mses = _clip_search_mses(x, w32, n_grid, min_ratio, n_bit, group_size,
+                             numeric_type)
     best_i = int(jnp.argmin(mses))
     ratio = 1.0 - (1.0 - min_ratio) * best_i / n_grid
     absmax = jnp.abs(w32).max(axis=1, keepdims=True)
@@ -133,7 +169,8 @@ def search_clip(x: jax.Array, w: jax.Array, n_grid: int = 20,
 def run_awq(params: Dict, cfg, input_ids: jax.Array, n_bit: int = 4,
             group_size: int = 128, n_grid: int = 20,
             do_clip: bool = True, calib_tokens: Optional[int] = None,
-            progress: bool = False) -> Tuple[Dict, Dict]:
+            progress: bool = False,
+            numeric_type: str = "int") -> Tuple[Dict, Dict]:
     """Run the AWQ search over every decoder layer.
 
     Calibration inputs come from the model's own capture mechanism (one
@@ -220,7 +257,8 @@ def run_awq(params: Dict, cfg, input_ids: jax.Array, n_bit: int = 4,
             x = act(act_name)
             s, ratio = search_scale(x, [_lget(layer, t) for t in targets],
                                     n_grid=n_grid, n_bit=n_bit,
-                                    group_size=group_size)
+                                    group_size=group_size,
+                                    numeric_type=numeric_type)
             s_prev = s
             if prev == "v_proj" and not is_opt:
                 # GQA: o_proj's input channels repeat each kv head `rep`
@@ -250,7 +288,8 @@ def run_awq(params: Dict, cfg, input_ids: jax.Array, n_bit: int = 4,
                 clipped, cratio = search_clip(
                     x[:min(len(x), 512)], _lget(layer, nm),
                     n_grid=max(4, n_grid // 4), n_bit=n_bit,
-                    group_size=group_size, return_ratio=True)
+                    group_size=group_size, return_ratio=True,
+                    numeric_type=numeric_type)
                 _lset(layer, nm, clipped)
                 results["clip"][f"layers.{i}.{nm}"] = cratio
     return results, out

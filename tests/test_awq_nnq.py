@@ -141,3 +141,56 @@ class TestNnq:
             nnq_args={"steps": 20, "objective": "w_mse"})
         assert lut.shape == (4, 16)
         assert int(codes.max()) <= 15
+
+
+class TestAwqNumericTypes:
+    """numeric_type dispatch in the AWQ search objective (reference
+    pre_process/awq/quantizer.py:157-176, 276-323): the scale/clip grid
+    optimizes the deployed format, including any4."""
+
+    @pytest.mark.parametrize("numeric_type", ["any4", "nf4", "fp4"])
+    def test_pseudo_quantize_variants(self, numeric_type):
+        w = jax.random.normal(jax.random.PRNGKey(3), (8, 128))
+        wq = awq.pseudo_quantize(w, n_bit=4, group_size=32,
+                                 numeric_type=numeric_type)
+        assert wq.shape == w.shape
+        err = float(jnp.mean((wq - w) ** 2) / jnp.mean(w ** 2))
+        assert 0 < err < 0.2, err
+        # any4 should beat the fixed codebooks on gaussian data
+        if numeric_type == "any4":
+            wq_int = awq.pseudo_quantize(w, n_bit=4, group_size=32,
+                                         numeric_type="int")
+            err_int = float(jnp.mean((wq_int - w) ** 2))
+            assert float(jnp.mean((wq - w) ** 2)) <= err_int * 1.05
+
+    def test_pseudo_any4_matches_reference_shape_contract(self):
+        # jit-safety inside a scan (the search path)
+        w = jax.random.normal(jax.random.PRNGKey(4), (4, 64))
+
+        @jax.jit
+        def f(w):
+            def body(_, r):
+                return None, awq.pseudo_quantize(
+                    w * r, 4, 32, numeric_type="any4")
+            _, out = jax.lax.scan(body, None,
+                                  jnp.asarray([0.5, 1.0, 2.0]))
+            return out
+
+        out = f(w)
+        assert out.shape == (3, 4, 64)
+        assert bool(jnp.all(jnp.isfinite(out)))
+
+    def test_run_awq_any4_end_to_end(self):
+        cfg = llama.LlamaConfig.tiny(vocab=128, layers=1)
+        params = llama.init_params(cfg, jax.random.PRNGKey(0))
+        ids = jax.random.randint(jax.random.PRNGKey(1), (1, 16), 0,
+                                 cfg.vocab_size)
+        base, _ = llama.forward(params, cfg, ids)
+        results, scaled = awq.run_awq(params, cfg, ids, group_size=32,
+                                      n_grid=4, do_clip=True,
+                                      numeric_type="any4")
+        out, _ = llama.forward(scaled, cfg, ids)
+        np.testing.assert_allclose(np.asarray(out, np.float32),
+                                   np.asarray(base, np.float32),
+                                   atol=6e-2, rtol=6e-2)
+        assert len(results["scales"]) == 4
