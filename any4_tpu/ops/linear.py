@@ -138,7 +138,7 @@ def quantize_tensor(w: jax.Array, fmt: str = "any4", group_size: int = 128,
         w = jnp.asarray(w)
     symmetric = bool(kwargs.pop("scale_only", False))
     assert not symmetric or fmt in ("int4", "int4p", "int8", "int8p",
-                                    "w4a8", "w8a8", "any4"), \
+                                    "w4a8", "w8a8", "any4", "any4t"), \
         f"scale_only (symmetric) applies to int/any4 formats, not {fmt!r}"
     if fmt == "int4":
         codes, scales, zeros = quant.group_quantize(
@@ -181,6 +181,21 @@ def quantize_tensor(w: jax.Array, fmt: str = "any4", group_size: int = 128,
             **kwargs)
         packed = packing.pack_int4(codes, row_shards)
         lut = (lut01 - 8.0).astype(jnp.float32)  # centered storage
+    elif fmt == "any4t":
+        # identical NUMBERS to fmt="any4" (same learner, same LUT/codes)
+        # in the transposed k-on-sublanes packing whose kernel gathers the
+        # codebook along the sublane dimension -- measured 119 -> 52
+        # us/layer at 4096^2 m=1 (benchmarks/lab_any4_r3.json); the
+        # production any4 deployment format. LUT stored TRANSPOSED
+        # [16, n] to match the kernel's lane-blocked table spec.
+        assert group_size % 128 == 0, \
+            "any4t requires group_size a multiple of 128 (plane-constant " \
+            "affine for the post-dot epilogue); use fmt='any4' otherwise"
+        codes, lut01, scales, zeros = anyq.any4_quantize(
+            w, n_bit=4, group_size=group_size, scale_only=symmetric,
+            **kwargs)
+        packed = packing.pack_int4_transposed(codes, row_shards)
+        lut = (lut01.T - 8.0).astype(jnp.float32)      # [16, n] centered
     elif fmt in ("nf4", "fp4"):
         codes, scales = quant.lut_quantize(w, fmt, group_size)
         packed = packing.pack_int4(codes, row_shards)
@@ -242,25 +257,29 @@ def dequantize_tensor(qt: QuantizedTensor, dtype=None) -> jax.Array:
     the analog of tinygemm's `tinygemm_dequant_int4`,
     TinyGemmDequantize.cu:19-58)."""
     from dataclasses import replace as _replace
+    transposed = qt.fmt == "any4t"
+    k_axis = 0 if transposed else 1   # packed axis carrying (packed) k
     if qt.row_shards > 1:
         S = qt.row_shards
         n, k = qt.shape
-        denom = 8 if qt.fmt in _NIBBLE_FMTS else \
+        denom = 8 if qt.fmt in _NIBBLE_FMTS or transposed else \
             4 if qt.fmt == "int4p" else 2 if qt.fmt == "w4a8" else 1
         shard_words = packing.padded_k(k // S) // denom
-        if qt.packed.shape[1] == shard_words:
+        if qt.packed.shape[k_axis] == shard_words:
             # live leaf holds ONE k-shard (inside shard_map the static
             # metadata still describes the full logical tensor): dequantize
             # it as a standalone single-shard weight
             sub = _replace(qt, shape=(n, k // S), row_shards=1)
             return dequantize_tensor(sub, dtype)
-        wordper = qt.packed.shape[1] // S
+        wordper = qt.packed.shape[k_axis] // S
         rowper = qt.scales.shape[0] // S
         parts = []
         for s_ in range(S):
+            pk = (qt.packed[s_ * wordper:(s_ + 1) * wordper] if transposed
+                  else qt.packed[:, s_ * wordper:(s_ + 1) * wordper])
             sub = _replace(
                 qt,
-                packed=qt.packed[:, s_ * wordper:(s_ + 1) * wordper],
+                packed=pk,
                 scales=qt.scales[s_ * rowper:(s_ + 1) * rowper],
                 zeros=qt.zeros[s_ * rowper:(s_ + 1) * rowper],
                 shape=(n, k // S), row_shards=1)
@@ -268,9 +287,10 @@ def dequantize_tensor(qt: QuantizedTensor, dtype=None) -> jax.Array:
         return jnp.concatenate(parts, axis=1)
     n, k = qt.shape
     dtype = dtype or qt.dtype
-    kp = qt.packed.shape[1] * (8 if qt.fmt in _NIBBLE_FMTS else
-                               4 if qt.fmt in ("int4p", "int8p") else
-                               2 if qt.fmt == "w4a8" else 1)
+    kp = qt.packed.shape[k_axis] * (
+        8 if qt.fmt in _NIBBLE_FMTS or transposed else
+        4 if qt.fmt in ("int4p", "int8p") else
+        2 if qt.fmt == "w4a8" else 1)
     g = qt.group_size
     if qt.fmt == "int8p":
         # split-byte layout: de-interleave nibble planes, reassemble bytes
@@ -292,6 +312,9 @@ def dequantize_tensor(qt: QuantizedTensor, dtype=None) -> jax.Array:
             codes = packing.unpack_int4_pair(qt.packed, kp).astype(jnp.int32)
         elif qt.fmt == "w4a8":
             codes = packing.unpack_int4_quad(qt.packed, kp).astype(jnp.int32)
+        elif transposed:
+            codes = packing.unpack_int4_transposed(
+                qt.packed, kp).astype(jnp.int32)
         else:
             codes = packing.unpack_int4(qt.packed, kp).astype(jnp.int32)
         if qt.fmt in ("int4", "int4p", "w4a8"):
@@ -302,7 +325,10 @@ def dequantize_tensor(qt: QuantizedTensor, dtype=None) -> jax.Array:
             # TPU vs ~0.3 ms for the select chain (benchmarks/
             # tune_m_any4_4096.json drove this); bit-exact either way
             lut = qt.lut.astype(jnp.float32)
-            if lut.shape[0] == 1:   # global table (nf4/fp4/mx4/global-any4)
+            if transposed:          # any4t stores the LUT as [16, n]
+                lut = lut.T if lut.shape[1] == n else \
+                    jnp.broadcast_to(lut.T, (n, 16))
+            elif lut.shape[0] == 1:  # global table (nf4/fp4/mx4/global-any4)
                 lut = jnp.broadcast_to(lut, (n, 16))
             q = jnp.zeros(codes.shape, jnp.float32)
             for c in range(16):
@@ -389,6 +415,8 @@ def _kernel_fmt(fmt: str, lut: Optional[jax.Array] = None) -> str:
         # kernel's per-row BlockSpec would misread a [1, 16] table, so this
         # variant runs on the shared-table kernel path like nf4/fp4
         return "lut4"
+    if fmt == "any4t" and lut is not None and lut.shape[1] == 1:
+        return "lut4t"   # global-LUT any4 in the transposed layout
     return fmt
 
 
@@ -472,8 +500,9 @@ def linear(x: jax.Array, w, bias: Optional[jax.Array] = None, *,
                 xr = xq[..., :k_log].reshape(*lead, k_log // 128, 128)
                 xq = jnp.repeat(xr, 2, axis=-2).reshape(*lead, 2 * k_log)
                 gs = 128  # plane-granular scales on the doubled axis
-            n_local = w.packed.shape[0] * (
-                2 if w.fmt in ("int4p", "int8p") else 1)
+            n_local = (w.packed.shape[1] if w.fmt == "any4t" else
+                       w.packed.shape[0] *
+                       (2 if w.fmt in ("int4p", "int8p") else 1))
             y = gemv.quantized_matmul(
                 xq, w.packed, w.scales, w.zeros, w.lut,
                 fmt=_kernel_fmt(w.fmt, w.lut), group_size=gs,

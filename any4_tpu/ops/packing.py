@@ -223,3 +223,68 @@ def pack_int8(q: jax.Array, shards: int = 1) -> jax.Array:
             [pack_int8(q[:, s * (k // shards):(s + 1) * (k // shards)])
              for s in range(shards)], axis=1)
     return pad_axis(q, 1, padded_k(k))
+
+
+def pack_int4_transposed(codes: jax.Array, shards: int = 1) -> jax.Array:
+    """Transposed planar packing for the sublane-gather LUT kernels:
+    4-bit codes ``[n, k]`` -> int32 words ``[k_padded/8, n]``.
+
+    k is blocked in 128-wide groups (one quantization sub-group per
+    plane-constant affine); within a group, word row ``K`` (of 16) holds in
+    nibble ``p`` the code for k-offset ``p*16 + K``. Unpacking plane ``p``
+    of a ``[16, n]`` word block and concatenating the 8 planes along
+    sublanes therefore yields ``ct[j, r] = codes[r, k_base + j]`` -- codes
+    in NATURAL k order on *sublanes* with output rows on *lanes*. That
+    orientation lets the kernel gather any4's per-row 16-entry LUT along
+    the sublane dimension (``tpu.dynamic_gather`` dim 0, 8-sublane reach,
+    two gathers + select per slice), which measures ~5x cheaper than the
+    lane-dimension gather of the row-major layout (benchmarks/
+    lab_any4_r3.json: 51 vs 110 us/layer at 4096^2) -- the TPU answer to
+    the reference's in-register `__shfl_sync` LUT (Dequantization.cuh:93).
+
+    ``shards > 1`` packs contiguous k-slices independently (each padded to
+    a PACK_BLOCK multiple) so sharding along axis 0 splits at logical k
+    boundaries (row-parallel TP).
+    """
+    n, k = codes.shape
+    if shards > 1:
+        assert k % shards == 0, f"k={k} not divisible by shards={shards}"
+        parts = [pack_int4_transposed(
+            codes[:, s * (k // shards):(s + 1) * (k // shards)])
+            for s in range(shards)]
+        return jnp.concatenate(parts, axis=0)
+    kp = padded_k(k)
+    c = pad_axis(codes.astype(jnp.int32), 1, kp)
+    c = c.reshape(n, kp // LANES, PLANES, 16)      # k = g*128 + p*16 + K
+    c = c.transpose(1, 3, 2, 0)                    # [groups, 16, planes, n]
+    shifts = (4 * jnp.arange(PLANES, dtype=jnp.int32))[None, None, :, None]
+    words = jnp.sum(c << shifts, axis=2, dtype=jnp.int32)  # [groups, 16, n]
+    return words.reshape(kp // PLANES, n)
+
+
+def unpack_int4_transposed(packed: jax.Array, k: int, shards: int = 1
+                           ) -> jax.Array:
+    """Inverse of :func:`pack_int4_transposed`; returns uint8 ``[n, k]``."""
+    if shards > 1:
+        kw, n = packed.shape
+        per = kw // shards
+        parts = [unpack_int4_transposed(
+            packed[s * per:(s + 1) * per], k // shards)
+            for s in range(shards)]
+        return jnp.concatenate(parts, axis=1)
+    kw, n = packed.shape
+    kp = kw * PLANES
+    words = packed.reshape(kp // LANES, 16, 1, n)
+    shifts = (4 * jnp.arange(PLANES, dtype=jnp.int32))[None, None, :, None]
+    c = (jax.lax.shift_right_logical(words, shifts)) & 0xF  # [g, K, p, n]
+    c = c.transpose(3, 0, 2, 1)                    # [n, g, p, K]
+    return c.reshape(n, kp)[:, :k].astype(jnp.uint8)
+
+
+def transposed_layout(fmt: str, group_size: int) -> bool:
+    """True when a LUT format stores codes in the transposed
+    (sublane-gather) layout: all per-element-LUT formats whose
+    quantization groups are plane-constant (multiples of 128). Smaller
+    groups (e.g. mx4's 32) keep the row-major planar layout and the
+    fused-table kernel."""
+    return fmt in ("any4", "nf4", "fp4", "mx4") and group_size % LANES == 0

@@ -227,6 +227,151 @@ def _q4post_kernel(x_ref, w_ref, s_ref, z_ref, lut_ref, o_ref, acc_ref, *,
         o_ref[:] = acc_ref[:].astype(o_ref.dtype)
 
 
+def _q4t_kernel(x_ref, w_ref, s_ref, z_ref, lut_ref, o_ref, acc_ref, *,
+                fmt: str, bn: int, nk: int, kbs: int):
+    """Transposed-layout LUT kernel (fmt="any4t"/"lut4t"): the production
+    any4/nf4/fp4 path at group_size % 128 == 0.
+
+    Codes arrive in :func:`any4_tpu.ops.packing.pack_int4_transposed`
+    order -- k on SUBLANES, output rows on LANES -- so the 16-entry
+    codebook can be gathered along the sublane dimension:
+    ``take_along_axis(lut_half [8, bn], codes [8, bn], axis=0)`` lowers to
+    ``tpu.dynamic_gather(dim 0)``, whose v5e reach is one 32-bit vreg (8
+    sublanes). Two gathers (lo/hi LUT half) + a select cover 16 entries.
+    Measured 110.6 -> ~50 us/layer at 4096^2 m=1 vs the lane-gather
+    row-major kernel (benchmarks/lab_any4_r3.json, tune_any4t_r3.json):
+    the lane-dimension gather retires ~2 us per [512, 128] tile while the
+    sublane gather costs a few basic VPU ops -- this is the TPU analog of
+    the reference's in-register `__shfl_sync` LUT (Dequantization.cuh:
+    93-131). The dequantized [128, bn] group feeds the MXU in its natural
+    ``[m, 128] x [128, bn]`` orientation and the group affine applies
+    post-dot like `_q4post_kernel`: ``y += P*s + sum(x_g)*z``.
+
+    Numerics are IDENTICAL to the row-major `_q4post_kernel` (same bf16
+    codebook rounding pre-dot, same f32 post-dot affine): validated
+    bit-equal on hardware at 4096^2.
+    """
+    kc = pl.program_id(1)
+
+    @pl.when(kc == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    lut_t = lut_ref[:].astype(jnp.float32)           # [16, bn] or [16, 1]
+    if fmt != "any4t":
+        lut_t = jnp.broadcast_to(lut_t, (16, bn))    # global codebook
+    tlo = lut_t[0:8, :]
+    thi = lut_t[8:16, :]
+
+    xb = x_ref[:]                                    # [mp, kbs*1024] bf16
+    w = w_ref[:]                                     # [kbs*128, bn] int32
+    acc = acc_ref[:]
+    for g in range(kbs * 8):                         # 128-wide k groups
+        words = w[g * 16:(g + 1) * 16, :]            # [16, bn]
+        outs = []
+        for p in range(PLANES):
+            wp = (words if p == 0 else
+                  jax.lax.shift_right_logical(words, 4 * p)) & 0xF
+            for s in range(2):                       # 8-sublane gather reach
+                cs = wp[s * 8:(s + 1) * 8, :]
+                c7 = cs & 7
+                glo = jnp.take_along_axis(tlo, c7, axis=0)
+                ghi = jnp.take_along_axis(thi, c7, axis=0)
+                outs.append(jnp.where(cs >= 8, ghi, glo))
+        deq = jnp.concatenate(outs, axis=0).astype(jnp.bfloat16)
+        xg = xb[:, g * LANES:(g + 1) * LANES]
+        part = jax.lax.dot_general(
+            xg, deq, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)      # [mp, bn]
+        sg = s_ref[g:g + 1, :].astype(jnp.float32)
+        zg = z_ref[g:g + 1, :].astype(jnp.float32)
+        xs = jnp.sum(xg.astype(jnp.float32), axis=1, keepdims=True)
+        acc = acc + part * sg + xs * zg
+    acc_ref[:] = acc
+
+    @pl.when(kc == nk - 1)
+    def _():
+        o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("fmt", "group_size", "n", "block_n", "out_dtype",
+                     "interpret", "k_chunk"))
+def _q4t_matmul_padded(
+    x: jax.Array,                  # [mp, kp] bf16
+    packed: jax.Array,             # [kp/8, np] int32 (transposed planar)
+    scales_t: jax.Array,           # [kp/g, np] f32
+    zeros_t: jax.Array,            # [kp/g, np] f32
+    lut_t: Optional[jax.Array],    # any4t: [16, np]; lut4t: [16, 1]
+    *,
+    fmt: str,
+    group_size: int,
+    n: int,
+    block_n: int,
+    out_dtype,
+    interpret: bool,
+    k_chunk: Optional[int],
+) -> jax.Array:
+    """Launch driver for the transposed-layout LUT kernels (``any4t`` /
+    ``lut4t``; see :func:`_q4t_kernel`). The packed operand is
+    :func:`any4_tpu.ops.packing.pack_int4_transposed` output -- k on
+    sublanes, output rows on lanes -- and the LUT arrives TRANSPOSED
+    (``[16, np]``) so its block along lanes matches the weight block."""
+    mp, kp = x.shape
+    np_ = packed.shape[1]
+    assert packed.shape[0] * PLANES == kp, (packed.shape, kp)
+    assert kp % PACK_BLOCK == 0 and (mp <= 16 or mp % 16 == 0)
+    assert np_ % block_n == 0
+    assert group_size % LANES == 0, \
+        "transposed-layout kernels need group_size a multiple of 128"
+    nkb = kp // PACK_BLOCK
+    if k_chunk is not None:
+        assert nkb % k_chunk == 0
+        kbs = k_chunk
+    else:
+        kbs = 2 if nkb % 2 == 0 else 1
+    nk = nkb // kbs
+    nb = np_ // block_n
+    sz = _expand_plane_scales(scales_t, group_size)
+    zz = _expand_plane_scales(zeros_t, group_size)
+    rows = kbs * PACK_BLOCK // LANES
+
+    in_specs = [
+        pl.BlockSpec((mp, kbs * PACK_BLOCK), lambda i, kc: (0, kc),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((kbs * 128, block_n), lambda i, kc: (kc, i),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((rows, block_n), lambda i, kc: (kc, i),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((rows, block_n), lambda i, kc: (kc, i),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((16, block_n if fmt == "any4t" else 1),
+                     lambda i, kc: (0, i if fmt == "any4t" else 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    kern = functools.partial(_q4t_kernel, fmt=fmt, bn=block_n, nk=nk,
+                             kbs=kbs)
+    y = pl.pallas_call(
+        kern,
+        grid=(nb, nk),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((mp, block_n), lambda i, kc: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((mp, np_), out_dtype),
+        scratch_shapes=[pltpu.VMEM((mp, block_n), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * mp * np_ * kp,
+            bytes_accessed=packed.size * 4 + x.size * x.dtype.itemsize * nb
+            + mp * np_ * 2 + 2 * sz.size * 4,
+            transcendentals=0),
+        interpret=interpret,
+    )(x, packed, sz, zz, lut_t.astype(jnp.float32))
+    return y[:, :n]
+
+
 def _q4pair_kernel(x_ref, w_ref, s_ref, z_ref, o_ref, acc_ref, *,
                    bn: int, nk: int, kbs: int):
     """Magic-number pair-packed int4 (fmt="int4p", packing.pack_int4_pair):
@@ -517,6 +662,11 @@ def quantized_matmul_padded(
         # bn=1024 overflows the 16MB VMEM budget (measured on v5e)
         block_n = min(block_n, 512)
     mp, kp = x.shape
+    if fmt in ("any4t", "lut4t"):
+        return _q4t_matmul_padded(
+            x, packed, scales_t, zeros_t, lut, fmt=fmt,
+            group_size=group_size, n=n, block_n=block_n,
+            out_dtype=out_dtype, interpret=interpret, k_chunk=k_chunk)
     np_ = packed.shape[0] * (2 if fmt == "int4p" else
                              4 if fmt == "w4a8" else 1)
     # int8-MXU formats: int8 x -> pre-quantized activations (external
@@ -686,19 +836,29 @@ def quantized_matmul(
     else:
         x2 = x.reshape(-1, orig_shape[-1]).astype(jnp.bfloat16)
     m, k = x2.shape
+    transposed = fmt in ("any4t", "lut4t")
     rows_per_word = 2 if fmt == "int4p" else 4 if fmt == "w4a8" else 1
     word_k = 4 if fmt == "int4p" else 2 if fmt == "w4a8" else \
         (PLANES if fmt not in ("int8", "w8a8") else 1)
-    np_full = packed.shape[0] * rows_per_word
+    if transposed:
+        # packed is [kp/8, np] (packing.pack_int4_transposed); lut arrives
+        # TRANSPOSED [16, np] (any4t) or [16, 1] (lut4t global codebook)
+        np_full = packed.shape[1]
+        kp = packed.shape[0] * PLANES
+    else:
+        np_full = packed.shape[0] * rows_per_word
+        kp = packed.shape[1] * word_k
     n = np_full if n is None else n
-    kp = packed.shape[1] * word_k
 
     # a sharded (row-parallel) weight may carry a partial PACK_BLOCK of k;
     # zero-pad back to alignment (codes 0 + scales 0 reconstruct to 0.0)
     kpa = _round_up(kp, PACK_BLOCK)
     if kpa != kp:
-        wordpad = (kpa - kp) // word_k
-        packed = jnp.pad(packed, ((0, 0), (0, wordpad)))
+        if transposed:
+            packed = jnp.pad(packed, ((0, (kpa - kp) // PLANES), (0, 0)))
+        else:
+            wordpad = (kpa - kp) // word_k
+            packed = jnp.pad(packed, ((0, 0), (0, wordpad)))
         ge = min(group_size, kpa)
         rows_target = kpa // ge
         rowpad = rows_target - scales_t.shape[0]
@@ -719,11 +879,16 @@ def quantized_matmul(
         x2 = jnp.pad(x2, ((0, mp - m), (0, 0)))
     if npad != np_full:
         pad_n = npad - np_full
-        packed = jnp.pad(packed, ((0, pad_n // rows_per_word), (0, 0)))
+        if transposed:
+            packed = jnp.pad(packed, ((0, 0), (0, pad_n)))
+        else:
+            packed = jnp.pad(packed, ((0, pad_n // rows_per_word), (0, 0)))
         scales_t = jnp.pad(scales_t, ((0, 0), (0, pad_n)))
         zeros_t = jnp.pad(zeros_t, ((0, 0), (0, pad_n)))
-        if lut is not None and lut.shape[0] == np_full:
+        if lut is not None and not transposed and lut.shape[0] == np_full:
             lut = jnp.pad(lut, ((0, pad_n), (0, 0)))
+        if lut is not None and transposed and lut.shape[1] == np_full:
+            lut = jnp.pad(lut, ((0, 0), (0, pad_n)))
 
     y = quantized_matmul_padded(
         x2, packed, scales_t, zeros_t, lut, fmt=fmt, group_size=group_size,

@@ -56,20 +56,31 @@ def make_mesh(dp: int = 1, tp: Optional[int] = None,
 
 def _qt_spec(kind: str, qt: lin.QuantizedTensor) -> lin.QuantizedTensor:
     """PartitionSpecs for the leaves of a QuantizedTensor (mirrors None-ness
-    of optional leaves so the pytree structures match)."""
-    has_row_lut = qt.lut is not None and qt.lut.shape[0] == qt.shape[0]
+    of optional leaves so the pytree structures match). The transposed
+    any4t layout swaps the packed axes (codes are [kp/8, n], LUT [16, n]),
+    so its n/k sharding axes swap accordingly."""
+    transposed = qt.fmt == "any4t"
+    has_row_lut = qt.lut is not None and (
+        qt.lut.shape[1] == qt.shape[0] if transposed
+        else qt.lut.shape[0] == qt.shape[0])
     if kind == "col":  # shard n (output) dim
-        lut = (P("tp", None) if has_row_lut
-               else (None if qt.lut is None else P(None, None)))
+        if qt.lut is None:
+            lut = None
+        elif not has_row_lut:
+            lut = P(None, None)
+        else:
+            lut = P(None, "tp") if transposed else P("tp", None)
         return lin.QuantizedTensor(
-            packed=P("tp", None), scales=P(None, "tp"),
+            packed=P(None, "tp") if transposed else P("tp", None),
+            scales=P(None, "tp"),
             zeros=P(None, "tp"), lut=lut,
             fmt=qt.fmt, group_size=qt.group_size, shape=qt.shape,
             dtype=qt.dtype, row_shards=qt.row_shards)
     else:               # row: shard k (input) dim
         lut = None if qt.lut is None else P(None, None)
         return lin.QuantizedTensor(
-            packed=P(None, "tp"), scales=P("tp", None),
+            packed=P("tp", None) if transposed else P(None, "tp"),
+            scales=P("tp", None),
             zeros=P("tp", None), lut=lut,
             fmt=qt.fmt, group_size=qt.group_size, shape=qt.shape,
             dtype=qt.dtype, row_shards=qt.row_shards)
@@ -137,6 +148,15 @@ def _interleave_rows(leaf, sizes, tp: int):
             order.extend(range(off + i * per, off + (i + 1) * per))
     order = np.asarray(order)
     if isinstance(leaf, lin.QuantizedTensor):
+        if leaf.fmt == "any4t":
+            # transposed layout: output rows live on AXIS 1 of packed/lut
+            lut = leaf.lut
+            if lut is not None and lut.shape[1] == leaf.shape[0]:
+                lut = lut[:, order]
+            return dataclasses.replace(
+                leaf, packed=leaf.packed[:, order],
+                scales=leaf.scales[:, order],
+                zeros=leaf.zeros[:, order], lut=lut)
         lut = leaf.lut
         if lut is not None and lut.shape[0] == leaf.shape[0]:
             lut = lut[order]

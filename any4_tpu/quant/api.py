@@ -131,7 +131,7 @@ def quantize_model(
             sw = sw(name)
         if sw is not None:
             kw["sample_weight"] = jnp.asarray(sw)
-        if fmt not in ("any4", "anyq"):
+        if fmt not in ("any4", "any4t", "anyq"):
             # sample weights / kmeans options only apply to learned formats
             for k in ("sample_weight", "init", "keep_outliers",
                       "scale_sample_weight", "abs_weight_sample_weight",
@@ -154,7 +154,7 @@ def quantize_model(
             # other formats re-raise rather than retrying identically.
             if ("RESOURCE_EXHAUSTED" not in str(e)
                     and "Out of memory" not in str(e)) \
-                    or f not in ("any4",):
+                    or f not in ("any4", "any4t"):
                 raise
             if progress:
                 print(f"  OOM quantizing {name}; retrying with "
@@ -225,6 +225,9 @@ quant_methods = {
     "w8a8": functools.partial(quantize_model, fmt="w8a8"),
     "intq": functools.partial(quantize_model, fmt="intq"),
     "any4": functools.partial(quantize_model, fmt="any4"),
+    # any4 in the transposed sublane-gather packing (identical numbers,
+    # ~2.3x faster decode kernel; see ops/pallas/gemv._q4t_kernel)
+    "any4t": functools.partial(quantize_model, fmt="any4t"),
     "anyq": functools.partial(quantize_model, fmt="anyq"),
     "nf4": functools.partial(quantize_model, fmt="nf4"),
     "fp4": functools.partial(quantize_model, fmt="fp4"),

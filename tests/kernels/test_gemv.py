@@ -601,3 +601,110 @@ class TestQuantizedTensor:
         got = lin.dequantize_tensor(qt, dtype=jnp.float32)
         np.testing.assert_allclose(np.asarray(got), np.asarray(expect),
                                    rtol=1e-5, atol=1e-5)
+
+
+class TestTransposedLUT:
+    """Transposed-layout LUT kernels (fmt='any4t'/'lut4t'): codes packed
+    k-on-sublanes (packing.pack_int4_transposed) so the 16-entry codebook
+    gathers along the sublane dimension (tpu.dynamic_gather dim 0) instead
+    of the lane gather of the row-major kernels. Numerics must match the
+    row-major q4post path (same bf16 codebook rounding, f32 post-dot
+    affine)."""
+
+    def _transposed_inputs(self, qt):
+        codes = packing.unpack_int4(qt.packed, qt.shape[1])
+        pt = packing.pack_int4_transposed(codes)
+        lut_t = (qt.lut.T if qt.lut.shape[0] == qt.shape[0]
+                 else qt.lut.reshape(1, 16).T)
+        return pt, lut_t
+
+    def test_pack_transposed_roundtrip(self):
+        codes = jax.random.randint(jax.random.PRNGKey(90), (32, 1536),
+                                   0, 16, dtype=jnp.int32).astype(jnp.uint8)
+        pt = packing.pack_int4_transposed(codes)
+        assert pt.shape == (packing.padded_k(1536) // 8, 32)
+        back = packing.unpack_int4_transposed(pt, 1536)
+        np.testing.assert_array_equal(np.asarray(back), np.asarray(codes))
+
+    def test_pack_transposed_roundtrip_sharded(self):
+        codes = jax.random.randint(jax.random.PRNGKey(91), (16, 2048),
+                                   0, 16, dtype=jnp.int32).astype(jnp.uint8)
+        pt = packing.pack_int4_transposed(codes, shards=2)
+        back = packing.unpack_int4_transposed(pt, 2048, shards=2)
+        np.testing.assert_array_equal(np.asarray(back), np.asarray(codes))
+
+    @pytest.mark.parametrize("m", [1, 4])
+    def test_any4t_matches_any4(self, m):
+        n, k = 256, 2048
+        w = jax.random.normal(jax.random.PRNGKey(92), (n, k)) * 0.05
+        qt = lin.quantize_tensor(w, "any4", group_size=128, kmeans_iters=4)
+        x = jax.random.normal(jax.random.PRNGKey(93), (m, k))
+        y_ref = _mm(x, qt)
+        pt, lut_t = self._transposed_inputs(qt)
+        y_t = gemv.quantized_matmul(
+            x, pt, qt.scales, qt.zeros, lut_t, fmt="any4t",
+            group_size=128, n=n, interpret=INTERPRET,
+            out_dtype=jnp.float32)
+        _assert_close(y_t, np.asarray(y_ref), tol=5e-3)
+
+    @pytest.mark.parametrize("fmt", ["nf4", "fp4"])
+    def test_lut4t_matches_lut4(self, fmt):
+        n, k = 128, 1024
+        w = jax.random.normal(jax.random.PRNGKey(94), (n, k)) * 0.05
+        qt = lin.quantize_tensor(w, fmt, group_size=128)
+        x = jax.random.normal(jax.random.PRNGKey(95), (1, k))
+        y_ref = _mm(x, qt)
+        pt, lut_t = self._transposed_inputs(qt)
+        y_t = gemv.quantized_matmul(
+            x, pt, qt.scales, qt.zeros, lut_t, fmt="lut4t",
+            group_size=128, n=n, interpret=INTERPRET,
+            out_dtype=jnp.float32)
+        _assert_close(y_t, np.asarray(y_ref), tol=5e-3)
+
+    def test_any4t_n_k_padding(self):
+        # n not a lane multiple + k with a partial pack block (TP shard)
+        n, k = 200, 1024
+        w = jax.random.normal(jax.random.PRNGKey(96), (n, k)) * 0.05
+        qt = lin.quantize_tensor(w, "any4", group_size=128, kmeans_iters=4)
+        x = jax.random.normal(jax.random.PRNGKey(97), (1, k))
+        pt, lut_t = self._transposed_inputs(qt)
+        y_t = gemv.quantized_matmul(
+            x, pt, qt.scales, qt.zeros, lut_t, fmt="any4t",
+            group_size=128, n=n, interpret=INTERPRET,
+            out_dtype=jnp.float32)
+        ref = _ref(x, qt)
+        assert y_t.shape == (1, n)
+        _assert_close(y_t, ref, tol=5e-3)
+
+    def test_quantize_tensor_any4t_matches_any4(self):
+        # the production-format entry: same numbers as any4, transposed
+        # packing + [16, n] LUT, dispatched through linear()
+        n, k = 128, 2048
+        w = jax.random.normal(jax.random.PRNGKey(98), (n, k)) * 0.05
+        qa = lin.quantize_tensor(w, "any4", group_size=128, kmeans_iters=4,
+                                 seed=0)
+        qb = lin.quantize_tensor(w, "any4t", group_size=128, kmeans_iters=4,
+                                 seed=0)
+        np.testing.assert_allclose(
+            np.asarray(lin.dequantize_tensor(qa, dtype=jnp.float32)),
+            np.asarray(lin.dequantize_tensor(qb, dtype=jnp.float32)),
+            rtol=1e-5, atol=1e-6)
+        x = jax.random.normal(jax.random.PRNGKey(99), (1, k))
+        ya = lin.linear(x, qa, interpret=INTERPRET)
+        yb = lin.linear(x, qb, interpret=INTERPRET)
+        _assert_close(np.asarray(yb, np.float32), np.asarray(ya, np.float32),
+                      tol=5e-3)
+        assert qb.lut.shape == (16, n)
+        assert qb.packed.shape == (packing.padded_k(k) // 8, n)
+
+    def test_any4t_row_shards_dequant(self):
+        n, k = 64, 2048
+        w = jax.random.normal(jax.random.PRNGKey(100), (n, k)) * 0.05
+        qa = lin.quantize_tensor(w, "any4t", group_size=128, kmeans_iters=4,
+                                 seed=0)
+        qs = lin.quantize_tensor(w, "any4t", group_size=128, kmeans_iters=4,
+                                 seed=0, row_shards=2)
+        np.testing.assert_allclose(
+            np.asarray(lin.dequantize_tensor(qa, dtype=jnp.float32)),
+            np.asarray(lin.dequantize_tensor(qs, dtype=jnp.float32)),
+            rtol=1e-5, atol=1e-6)
