@@ -109,3 +109,57 @@ class TestDatasets:
         # zipf-ish: most common token much more frequent than median
         counts = np.bincount(s, minlength=512)
         assert counts.max() > 5 * np.median(counts[counts > 0])
+
+
+class TestGPTQLoaders:
+    """Seeded calibration-crop protocol (reference data_gptq.py
+    get_loaders): the sampling rng must be bit-reproducible against the
+    reference's stdlib `random.seed(seed)` / `random.randint` sequence."""
+
+    def test_seeded_crops_match_reference_protocol(self):
+        # literal transcription of data_gptq.py:45-55 (get_wikitext2 loop)
+        import random
+        ids = datasets.synthetic_tokens(1000, 5000, seed=3)
+        seqlen, nsamples, seed = 128, 16, 7
+        random.seed(seed)
+        expect = []
+        for _ in range(nsamples):
+            i = random.randint(0, len(ids) - seqlen - 1) \
+                if len(ids) > seqlen else 0
+            expect.append(ids[i:i + seqlen])
+        got = datasets.seeded_crops(ids, nsamples, seqlen, seed)
+        np.testing.assert_array_equal(got, np.stack(expect))
+
+    def test_seeded_crops_deterministic_and_seed_sensitive(self):
+        ids = datasets.synthetic_tokens(500, 4000, seed=1)
+        a = datasets.seeded_crops(ids, 8, 64, seed=0)
+        b = datasets.seeded_crops(ids, 8, 64, seed=0)
+        c = datasets.seeded_crops(ids, 8, 64, seed=1)
+        np.testing.assert_array_equal(a, b)
+        assert not np.array_equal(a, c)
+
+    def test_synthetic_loaders_shapes(self):
+        train, test = datasets.synthetic_loaders(256, nsamples=4, seqlen=32)
+        assert train.shape == (4, 32) and train.dtype == np.int32
+        assert test.ndim == 1 and len(test) >= 34
+
+    def test_doc_crops_protocol(self):
+        # per-document rejection sampling (data_gptq.py get_c4:88-104):
+        # short docs are skipped, crops come from docs >= seqlen tokens
+        class Tok:
+            def encode(self, text):
+                return [ord(c) % 97 for c in text]
+
+        docs = ["ab", "x" * 300, "yz"]
+        out = datasets._seeded_doc_crops(docs, Tok(), 4, 64, seed=5)
+        assert out.shape == (4, 64)
+        assert (out == ord("x") % 97).all()
+
+    def test_get_loaders_offline_raises(self):
+        with pytest.raises(datasets.DatasetUnavailable):
+            datasets.get_loaders("wikitext-2", tokenizer=None, nsamples=1,
+                                 seqlen=32)
+
+    def test_get_loaders_unknown_raises(self):
+        with pytest.raises(ValueError):
+            datasets.get_loaders("nope", tokenizer=None)
