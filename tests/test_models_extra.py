@@ -110,3 +110,47 @@ class TestMixtral:
         np.testing.assert_allclose(np.asarray(out, np.float32),
                                    np.asarray(ref, np.float32),
                                    atol=2e-2, rtol=2e-2)
+
+    def test_sparse_dispatch_matches_dense(self):
+        # cond-skip sparse dispatch must be numerically identical to the
+        # dense combine (the taken branch computes the same expression)
+        cfg = mixtral.MixtralConfig.tiny(vocab=64, layers=1)
+        params = mixtral.init_params(cfg, jax.random.PRNGKey(2))
+        layer = params["layers"][0]
+        for shape in ((1, 1), (2, 3)):
+            x = jax.random.normal(jax.random.PRNGKey(3),
+                                  (*shape, cfg.hidden_size), cfg.dtype)
+            dense = mixtral.moe_ffn(layer, cfg, x, dispatch="dense")
+            sparse = mixtral.moe_ffn(layer, cfg, x, dispatch="sparse")
+            np.testing.assert_allclose(np.asarray(sparse, np.float32),
+                                       np.asarray(dense, np.float32),
+                                       atol=1e-6, rtol=1e-6)
+
+    def test_sparse_dispatch_quantized(self):
+        from any4_tpu.quant import api
+        cfg = mixtral.MixtralConfig.tiny(vocab=64, layers=1)
+        params = mixtral.init_params(cfg, jax.random.PRNGKey(4))
+        qp = api.quantize_model(params, fmt="int4", group_size=32,
+                                model_config=cfg)
+        layer = qp["layers"][0]
+        x = jax.random.normal(jax.random.PRNGKey(5),
+                              (1, 2, cfg.hidden_size), cfg.dtype)
+        dense = mixtral.moe_ffn(layer, cfg, x, dispatch="dense",
+                                interpret=True)
+        sparse = mixtral.moe_ffn(layer, cfg, x, dispatch="sparse",
+                                 interpret=True)
+        np.testing.assert_allclose(np.asarray(sparse, np.float32),
+                                   np.asarray(dense, np.float32),
+                                   atol=1e-6, rtol=1e-6)
+
+    def test_auto_dispatch_thresholds(self):
+        # auto = sparse at decode shapes, dense at prefill shapes; both
+        # produce the dense numbers (covered above) -- here just exercise
+        # the auto path end-to-end under jit
+        cfg = mixtral.MixtralConfig.tiny(vocab=64, layers=1)
+        params = mixtral.init_params(cfg, jax.random.PRNGKey(6))
+        ids = jax.random.randint(jax.random.PRNGKey(7), (1, 3), 0,
+                                 cfg.vocab_size)
+        logits, _ = jax.jit(
+            lambda p, i: mixtral.forward(p, cfg, i))(params, ids)
+        assert np.isfinite(np.asarray(logits, np.float32)).all()
