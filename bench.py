@@ -37,11 +37,11 @@ import jax.numpy as jnp
 import numpy as np
 
 REFERENCE_ANY4_SPEEDUP = 2.29  # A5000, K=4096 (reference README.md:455)
-REFERENCE_SPEEDUPS = {"any4": 2.29, "int4": 3.26, "nf4": 2.23,
-                      "int4p": 3.26, "int8p": 1.0,
+REFERENCE_SPEEDUPS = {"any4": 2.29, "any4t": 2.29, "int4": 3.26,
+                      "nf4": 2.23, "int4p": 3.26, "int8p": 1.0,
                       "w4a8": 3.26, "w8a8": 1.0}
 LAYERS = 16  # GEMVs per chain; distinct weight buffers so each streams HBM
-FMTS = ("any4", "int4", "int4p", "int8p", "nf4", "w4a8", "w8a8")
+FMTS = ("any4", "any4t", "int4", "int4p", "int8p", "nf4", "w4a8", "w8a8")
 
 
 def timed_exec(f, args):
@@ -140,7 +140,7 @@ def measure(shape=(4096, 4096), fmts=FMTS, budget_s=420.0, rounds=6,
 
     mats = {"bf16": (None, (stack(w.astype(jnp.bfloat16)),))}
     for fmt in fmts:
-        kw = dict(kmeans_iters=8) if fmt == "any4" else {}
+        kw = dict(kmeans_iters=8) if fmt in ("any4", "any4t") else {}
         # jit the quantizer: eager per-op dispatch through the relay takes
         # minutes per weight in the throttled regime (boundary-code jitter
         # vs eager is ~1e-7 -- irrelevant for timing)
@@ -185,14 +185,83 @@ def measure(shape=(4096, 4096), fmts=FMTS, budget_s=420.0, rounds=6,
 
     best = {k: float("inf") for k in fns}
     t0 = time.time()
+    done = False
     for r in range(rounds):
-        if time.time() - t0 > budget_s:
-            break
         for k, f in fns.items():
+            # check INSIDE the loop: reps calibrated in the fast regime
+            # can make one call take ~40x target_call_s after a DVFS
+            # throttle (documented bimodal pool), so between-round checks
+            # alone can far overshoot the budget
+            if r > 0 and time.time() - t0 > budget_s:
+                done = True
+                break
             best[k] = min(best[k], max(timed_exec(f, ()) - rtt, 1e-6))
+        if done:
+            break
     per_layer = {k: v / (reps_of[k] * LAYERS) for k, v in best.items()}
     eff_gbs = N * K * 2 / per_layer["bf16"] / 1e9
     return per_layer, eff_gbs
+
+
+def _device_op_total_us(trace_dir) -> float:
+    """Sum device-side op durations (us) from a jax.profiler trace."""
+    import glob
+    import gzip
+    import os
+    tot = 0.0
+    for path in glob.glob(os.path.join(
+            trace_dir, "**", "*.trace.json.gz"), recursive=True):
+        with gzip.open(path, "rt") as f:
+            trace = json.load(f)
+        pid_names = {}
+        for ev in trace.get("traceEvents", []):
+            if ev.get("ph") == "M" and ev.get("name") == "process_name":
+                pid_names[ev["pid"]] = ev["args"].get("name", "")
+        for ev in trace.get("traceEvents", []):
+            if ev.get("ph") != "X":
+                continue
+            pname = pid_names.get(ev.get("pid"), "")
+            if "TPU" not in pname and "/device:" not in pname:
+                continue
+            if ev.get("name", "").startswith(("jit_", "jit(")):
+                tot += ev.get("dur", 0)
+    return tot
+
+
+def device_bracket(fmts=FMTS, shape=(4096, 4096), reps=8):
+    """Per-format DEVICE time per layer (us) captured in one process/DVFS
+    state via jax.profiler -- the regime-robust companion to the wall
+    minima (VERDICT r2 weak #7: single-run wall captures can mislead when
+    the shared pool throttles mid-run; device ratios within one trace
+    compare designs regardless of the clock state)."""
+    import tempfile
+    from any4_tpu.ops import linear as lin
+
+    N, K = shape
+    w = jax.random.normal(jax.random.PRNGKey(0), (N, K), jnp.float32)
+    w = w * (K ** -0.5)
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, K)).astype(jnp.bfloat16)
+    stack = lambda a: None if a is None else jnp.stack([a] * LAYERS)
+    out = {}
+    chains = {}
+    mats = {"bf16": (None, (stack(w.astype(jnp.bfloat16)),))}
+    for fmt in fmts:
+        kw = dict(kmeans_iters=8) if fmt in ("any4", "any4t") else {}
+        qt = jax.jit(functools.partial(
+            lin.quantize_tensor, fmt=fmt, group_size=128, **kw))(w)
+        mats[fmt] = (lin._kernel_fmt(qt.fmt, qt.lut),
+                     (stack(qt.packed), stack(qt.scales), stack(qt.zeros),
+                      stack(qt.lut)))
+    for name, (kf, st) in mats.items():
+        chains[name] = build_chain(name, x, st, shape, kf, reps)
+        chains[name]()  # compile outside the trace
+    for name, f in chains.items():
+        with tempfile.TemporaryDirectory() as td:
+            with jax.profiler.trace(td):
+                timed_exec(f, ())
+            tot = _device_op_total_us(td)
+        out[name] = round(tot / (reps * LAYERS), 2)
+    return out
 
 
 def main():
@@ -259,21 +328,18 @@ def main():
         out["e2e_decode_1b"] = {
             k: {"tok_s": v.get(f"{k}_tok_s"), "bf16_tok_s": v.get("bf16_tok_s"),
                 "speedup": v.get("speedup")} for k, v in decode.items()}
-    if regime == "throttled":
-        # gather-unit DVFS is pessimistic in the throttled state; attach
-        # the device-time profiler ratios (tools/profile_kernels.py,
-        # captured in one process/state) alongside
-        try:
-            with open("benchmarks/profile_kernels_r2.json") as f:
-                prof = json.load(f)
-            dev = {k: v["top_ops"][0]["median_us"]
-                   for k, v in prof.items() if v.get("top_ops")}
-            if "bf16" in dev:
-                out["device_time_speedups_same_dvfs_state"] = {
-                    k: round(dev["bf16"] / v, 2)
-                    for k, v in dev.items() if k != "bf16"}
-        except (OSError, json.JSONDecodeError, KeyError, IndexError):
-            pass
+    # regime bracket (VERDICT r2 weak #7): a fresh DEVICE-time capture of
+    # every format in ONE profiler state, attached alongside the wall
+    # minima so the artifact is robust to the pool's DVFS state
+    try:
+        dev = device_bracket()
+        out["device_us_per_layer_one_state"] = dev
+        if dev.get("bf16"):
+            out["device_time_speedups_one_state"] = {
+                k: round(dev["bf16"] / v, 2)
+                for k, v in dev.items() if k != "bf16" and v}
+    except Exception as e:  # profiling must never sink the bench artifact
+        out["device_bracket_error"] = f"{type(e).__name__}: {str(e)[:120]}"
     print(json.dumps(out))
 
 

@@ -38,8 +38,12 @@ def main():
         per_layer, eff_gbs = bench.measure(
             shape=shape, fmts=fmts, budget_s=args.budget_s,
             rounds=args.rounds, m=m)
+        # weight-bytes-equivalent throughput (N*K*2 / t): a true HBM
+        # bandwidth reading only while the bf16 chain is weight-bound
+        # (m <~ 64); at larger m the chain goes MXU-compute-bound and
+        # this is just a normalized rate, not bandwidth
         row = {"bf16_us_per_layer": round(per_layer["bf16"] * 1e6, 2),
-               "bf16_effective_gbs": round(eff_gbs, 0)}
+               "bf16_weight_gbs_equiv": round(eff_gbs, 0)}
         for fmt in fmts:
             row[fmt] = round(per_layer["bf16"] / per_layer[fmt], 3)
         out[f"m{m}"] = row

@@ -15,7 +15,9 @@ from any4_tpu.ops.pallas import gemv
 def main():
     m = int(sys.argv[1]) if len(sys.argv) > 1 else 64
     out = {}
-    for label, cap in (("fused_act", gemv.FUSED_ACT_M_MAX),
+    # the fused arm must admit the probed m (if m > the default cap, both
+    # arms would silently take the external-quant path)
+    for label, cap in (("fused_act", max(m, gemv.FUSED_ACT_M_MAX)),
                        ("external_quant", m - 1)):
         gemv.FUSED_ACT_M_MAX = cap
         per_layer, eff = bench.measure(
