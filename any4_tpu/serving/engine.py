@@ -175,9 +175,13 @@ def _decode_burst_impl(params, cfg, tokens, seq_lens, tables, k_pages,
         nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         return (nxt, lens + 1, kp, vp), nxt
 
-    (_, _, kp, vp), out = jax.lax.scan(
+    (last, lens, kp, vp), out = jax.lax.scan(
         body, (tokens, seq_lens, k_pages, v_pages), None, length=n_steps)
-    return out.T, kp, vp                      # [b, n_steps]
+    # the final carry (next token + advanced lengths) is returned so the
+    # scheduler can chain bursts with DEVICE-resident state: in steady
+    # decode (no admissions/retirements between bursts) the next burst
+    # consumes these arrays directly and the host uploads nothing
+    return out.T, last, lens, kp, vp          # [b, n_steps], [b], [b]
 
 
 _decode_burst = functools.partial(
@@ -231,6 +235,17 @@ class Engine:
         self._uid = 0
         self._greedy = sample_fn is None
         self.sample_fn = sample_fn or (lambda lg: jnp.argmax(lg, axis=-1))
+        # device-resident decode state: a burst returns its final (token,
+        # seq_len) carry, so steady-state decode (no admissions or
+        # retirements between bursts) chains bursts with ZERO host->device
+        # uploads -- the host mirrors (self.tokens/self.seq_lens) stay the
+        # bookkeeping truth and re-seed the device only when dirty. On a
+        # relay-attached chip each avoided upload/sync is a full round trip
+        # (PERF_NOTES: engine wall was ~12x device time at burst 16).
+        self._d_tokens = None
+        self._d_seq_lens = None
+        self._host_dirty = True
+        self._tbl_cache = (None, None, None)   # (bucket, version, array)
 
         self.mesh = mesh
         if mesh is not None:
@@ -305,7 +320,8 @@ class Engine:
                     mesh=mesh,
                     in_specs=(param_spec, P(None), P(None), P(None, None),
                               pages_spec, pages_spec),
-                    out_specs=(P(None, None), pages_spec, pages_spec),
+                    out_specs=(P(None, None), P(None), P(None),
+                               pages_spec, pages_spec),
                     check_vma=False)
                 burst_cache[n_steps] = jax.jit(f)
             return burst_cache[n_steps](params, tokens, sl, tbl, kp, vp)
@@ -350,7 +366,12 @@ class Engine:
         while bucket < pages:
             bucket *= 2
         bucket = min(bucket, self.pps)
-        return jnp.asarray(self.alloc.table[:, :bucket])
+        cb, cv, arr = self._tbl_cache
+        if cb == bucket and cv == self.alloc.version:
+            return arr                      # device copy still valid
+        arr = jnp.asarray(self.alloc.table[:, :bucket])
+        self._tbl_cache = (bucket, self.alloc.version, arr)
+        return arr
 
     def _admit(self):
         newly = []
@@ -388,6 +409,7 @@ class Engine:
             for (i, req, _), v in zip(newly, vals):
                 req.out_tokens.append(int(v))
                 self.tokens[i] = int(v)
+            self._host_dirty = True   # device token/len state is stale
 
     def _retire(self, i: int):
         req = self.slots[i]
@@ -395,6 +417,7 @@ class Engine:
         self.finished.append(req)
         self.slots[i] = None
         self.alloc.release(i)
+        self._host_dirty = True   # host seq_lens/tokens diverge from device
 
     def step(self, burst: int = 1) -> int:
         """Admit + one batched decode burst. Returns number of active slots.
@@ -425,6 +448,7 @@ class Engine:
             jnp.asarray(self.seq_lens), self._ctx_table(2),
             self.cache.k_pages, self.cache.v_pages, self.page_size)
         self.cache.k_pages, self.cache.v_pages = new_k, new_v
+        self._host_dirty = True   # single-step path keeps host-side state
         next_tokens = np.asarray(self.sample_fn(logits))
         for i in active:
             req = self.slots[i]
@@ -458,11 +482,20 @@ class Engine:
         if not active:
             return 0
         n = 1 << (n.bit_length() - 1)        # power-of-two compile buckets
-        toks, new_k, new_v = self._decode_burst_fn(
-            self.params, self.cfg, jnp.asarray(self.tokens),
-            jnp.asarray(self.seq_lens), self._ctx_table(n + 1),
+        if self._host_dirty or self._d_tokens is None:
+            d_tokens = jnp.asarray(self.tokens)
+            d_lens = jnp.asarray(self.seq_lens)
+        else:
+            # steady-state: chain off the previous burst's device carry
+            # (no host->device upload this burst)
+            d_tokens, d_lens = self._d_tokens, self._d_seq_lens
+        toks, last, lens, new_k, new_v = self._decode_burst_fn(
+            self.params, self.cfg, d_tokens, d_lens,
+            self._ctx_table(n + 1),
             self.cache.k_pages, self.cache.v_pages, self.page_size, n)
         self.cache.k_pages, self.cache.v_pages = new_k, new_v
+        self._d_tokens, self._d_seq_lens = last, lens
+        self._host_dirty = False
         toks = np.asarray(toks)
         for i in active:
             req = self.slots[i]

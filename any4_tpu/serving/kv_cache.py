@@ -69,6 +69,10 @@ class PageAllocator:
         self.table = np.zeros((max_seqs, pages_per_seq), np.int32)
         self.seq_pages: List[List[int]] = [[] for _ in range(max_seqs)]
         self.pages_per_seq = pages_per_seq
+        # incremented on every table mutation so callers can cache the
+        # device-side upload of `table` (the engine re-uploads only when
+        # this changes -- a per-burst upload costs a relay round trip)
+        self.version = 0
 
     def ensure(self, slot: int, seq_len: int, page_size: int) -> bool:
         """Allocate pages so `seq_len` positions fit. False if OOM."""
@@ -80,9 +84,12 @@ class PageAllocator:
             p = self.free.pop()
             self.table[slot, len(pages)] = p
             pages.append(p)
+            self.version += 1
         return True
 
     def release(self, slot: int):
+        if self.seq_pages[slot]:
+            self.version += 1
         self.free.extend(reversed(self.seq_pages[slot]))
         self.seq_pages[slot] = []
         self.table[slot] = 0

@@ -64,14 +64,19 @@ def main():
                    page_size=16, kv_quantize=args.kv_quantize)
     rng = np.random.RandomState(0)
 
-    # warm all programs (prefill, decode, burst)
-    e.submit(rng.randint(0, cfg.vocab_size, args.prompt_len),
-             max(2, args.burst + 1))
+    # warm by running the FULL workload once untimed: the burst program
+    # recompiles per context-bucket width (power-of-two page buckets), so
+    # a single short warm request leaves the wider buckets to compile
+    # INSIDE the timed region -- a 30-120s remote-compile hit that
+    # dominated earlier engine walls (ROUND_LOG r2 #18 regime noise)
+    def submit_all():
+        for _ in range(args.requests):
+            e.submit(rng.randint(0, cfg.vocab_size, size=args.prompt_len)
+                     .astype(np.int32), max_new_tokens=args.new_tokens)
+    submit_all()
     e.run(burst=args.burst)
 
-    for _ in range(args.requests):
-        e.submit(rng.randint(0, cfg.vocab_size, size=args.prompt_len)
-                 .astype(np.int32), max_new_tokens=args.new_tokens)
+    submit_all()
     t0 = time.time()
     done = e.run(burst=args.burst)
     dt = time.time() - t0
