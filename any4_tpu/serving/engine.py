@@ -62,7 +62,8 @@ def _ffn(layer, cfg, h, psum_axis=None):
 
 
 def _prefill_impl(params, cfg, prompt, true_len, k_pages, v_pages,
-                  table_row, page_size, psum_axis=None):
+                  table_row, page_size, psum_axis=None,
+                  kv_layout="paged"):
     """Run one (bucket-padded) prompt [1, L] and write its first
     ``true_len`` positions of KV into the paged pool. Returns
     (last_real_logits [vocab], k_pages, v_pages)."""
@@ -79,9 +80,17 @@ def _prefill_impl(params, cfg, prompt, true_len, k_pages, v_pages,
         cache_pos=None, mask=mask, psum_axis=psum_axis)
     pos = jnp.arange(L)
     real = pos < true_len
-    # padded positions write to page 0, the reserved scratch sink
-    page_ids = jnp.where(real, table_row[pos // page_size], 0)   # [L]
-    offsets = jnp.where(real, pos % page_size, 0)
+    if kv_layout == "contig":
+        # contiguous layout has no sink page (page 0 belongs to slot 0):
+        # padded positions write into the slot's OWN region at their
+        # position -- beyond true_len they are masked by seq_len and
+        # overwritten when decode reaches them
+        page_ids = table_row[pos // page_size]                   # [L]
+        offsets = pos % page_size
+    else:
+        # padded positions write to page 0, the reserved scratch sink
+        page_ids = jnp.where(real, table_row[pos // page_size], 0)
+        offsets = jnp.where(real, pos % page_size, 0)
     new_k, new_v = [], []
     for li in range(cfg.num_hidden_layers):
         kc, vc = caches[li]
@@ -94,7 +103,7 @@ def _prefill_impl(params, cfg, prompt, true_len, k_pages, v_pages,
 
 
 def _decode_impl(params, cfg, tokens, seq_lens, tables, k_pages, v_pages,
-                 page_size, psum_axis=None):
+                 page_size, psum_axis=None, kv_layout="paged"):
     """One decode step for all slots.
 
     tokens: [b] int32 current token per slot; seq_lens: [b] current length
@@ -107,9 +116,15 @@ def _decode_impl(params, cfg, tokens, seq_lens, tables, k_pages, v_pages,
     cos, sin = llama.rope_tables(cfg, positions)
     x = lin.embed(params["embed_tokens"], tokens[:, None], cfg.dtype)
 
-    # per-slot write target for the new token
-    page_ids = jnp.take_along_axis(
-        tables, (seq_lens // page_size)[:, None], axis=1)  # [b, 1]
+    # per-slot write target for the new token. The page index is CLAMPED
+    # to the bucketed table width: an inactive slot can carry a stale
+    # seq_len past the bucket, and an out-of-bounds take_along_axis
+    # returns the int32 fill value whose scatter lands on an arbitrary
+    # page -- in the contiguous layout that corrupted live data (found
+    # by test_contig_burst_continuous_batching; the paged layout only
+    # survived because the clamped garbage happened to hit the sink).
+    pidx = jnp.minimum(seq_lens // page_size, tables.shape[1] - 1)
+    page_ids = jnp.take_along_axis(tables, pidx[:, None], axis=1)  # [b, 1]
     offsets = (seq_lens % page_size)[:, None]
 
     hd = cfg.head_dim_
@@ -136,8 +151,9 @@ def _decode_impl(params, cfg, tokens, seq_lens, tables, k_pages, v_pages,
 
         # flash paged attention over each slot's pages (the new token was
         # just written at position seq_len, so the visible length is +1)
-        out = kvc.paged_attention(q[:, 0], new_k[li], new_v[li],
-                                  seq_lens + 1, tables)
+        attn = (kvc.contig_attention if kv_layout == "contig"
+                else kvc.paged_attention)
+        out = attn(q[:, 0], new_k[li], new_v[li], seq_lens + 1, tables)
         out = out.astype(x.dtype).reshape(b, 1, nq * hd)
         out = lin.linear(out, layer["o_proj"], layer.get("o_bias"))
         if psum_axis is not None:
@@ -160,7 +176,8 @@ def _decode_impl(params, cfg, tokens, seq_lens, tables, k_pages, v_pages,
 
 
 def _decode_burst_impl(params, cfg, tokens, seq_lens, tables, k_pages,
-                       v_pages, page_size, n_steps, psum_axis=None):
+                       v_pages, page_size, n_steps, psum_axis=None,
+                       kv_layout="paged"):
     """``n_steps`` greedy decode steps for all slots fused into one device
     program (lax.scan over :func:`_decode_impl`). Page tables are fixed for
     the whole burst -- the scheduler pre-allocates ``n_steps`` positions per
@@ -171,7 +188,8 @@ def _decode_burst_impl(params, cfg, tokens, seq_lens, tables, k_pages,
         toks, lens, kp, vp = carry
         logits, kp, vp = _decode_impl(params, cfg, toks, lens, tables,
                                       kp, vp, page_size,
-                                      psum_axis=psum_axis)
+                                      psum_axis=psum_axis,
+                                      kv_layout=kv_layout)
         nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         return (nxt, lens + 1, kp, vp), nxt
 
@@ -185,24 +203,28 @@ def _decode_burst_impl(params, cfg, tokens, seq_lens, tables, k_pages,
 
 
 _decode_burst = functools.partial(
-    jax.jit, static_argnames=("cfg", "page_size", "n_steps"))(
+    jax.jit, static_argnames=("cfg", "page_size", "n_steps", "kv_layout"))(
     lambda params, cfg, tokens, seq_lens, tables, k_pages, v_pages,
-    page_size, n_steps: _decode_burst_impl(
+    page_size, n_steps, kv_layout="paged": _decode_burst_impl(
         params, cfg, tokens, seq_lens, tables, k_pages, v_pages,
-        page_size, n_steps))
+        page_size, n_steps, kv_layout=kv_layout))
 
 
 _prefill_one = functools.partial(jax.jit,
-                                 static_argnames=("cfg", "page_size"))(
+                                 static_argnames=("cfg", "page_size",
+                                                  "kv_layout"))(
     lambda params, cfg, prompt, true_len, k_pages, v_pages, table_row,
-    page_size: _prefill_impl(params, cfg, prompt, true_len, k_pages,
-                             v_pages, table_row, page_size))
+    page_size, kv_layout="paged": _prefill_impl(
+        params, cfg, prompt, true_len, k_pages,
+        v_pages, table_row, page_size, kv_layout=kv_layout))
 
 _decode_batch = functools.partial(jax.jit,
-                                  static_argnames=("cfg", "page_size"))(
+                                  static_argnames=("cfg", "page_size",
+                                                   "kv_layout"))(
     lambda params, cfg, tokens, seq_lens, tables, k_pages, v_pages,
-    page_size: _decode_impl(params, cfg, tokens, seq_lens, tables,
-                            k_pages, v_pages, page_size))
+    page_size, kv_layout="paged": _decode_impl(
+        params, cfg, tokens, seq_lens, tables,
+        k_pages, v_pages, page_size, kv_layout=kv_layout))
 
 
 class Engine:
@@ -216,17 +238,32 @@ class Engine:
                  num_pages: Optional[int] = None,
                  sample_fn: Optional[Callable] = None,
                  kv_quantize: bool = False,
+                 kv_layout: str = "paged",
                  mesh=None, param_spec=None):
+        """``kv_layout``: "contig" gives every slot a FIXED
+        contiguous region of the KV pool and decode attention runs the
+        gather-free flash_contig_decode kernel -- the engine preallocates
+        max_slots * max_ctx pages either way, so this trades nothing
+        until page sharing/oversubscription exists; "paged" keeps the
+        vLLM-style free-list allocator + page-table attention."""
+        assert kv_layout in ("contig", "paged"), kv_layout
         self.params = params
         self.cfg = cfg
         self.page_size = page_size
+        self.kv_layout = kv_layout
+        if kv_layout == "contig":
+            # slot regions must be whole flash compute blocks
+            blk = max(kvc.CONTIG_BLOCK_TOKENS, page_size)
+            max_ctx = -(-max_ctx // blk) * blk
         self.pps = -(-max_ctx // page_size)
         self.max_ctx = self.pps * page_size
         self.max_slots = max_slots
-        num_pages = num_pages or (max_slots * self.pps + 1)
+        num_pages = num_pages or (max_slots * self.pps +
+                                  (0 if kv_layout == "contig" else 1))
         self.cache = kvc.PagedKVCache.create(cfg, num_pages, page_size,
                                              quantize=kv_quantize)
-        self.alloc = kvc.PageAllocator(num_pages, max_slots, self.pps)
+        self.alloc = kvc.PageAllocator(num_pages, max_slots, self.pps,
+                                       contiguous=kv_layout == "contig")
         self.slots: List[Optional[Request]] = [None] * max_slots
         self.tokens = np.zeros(max_slots, np.int32)
         self.seq_lens = np.zeros(max_slots, np.int32)
@@ -274,17 +311,19 @@ class Engine:
         pages_spec = [page_spec for _ in range(n_layers)]
         ps = self.page_size
 
+        kvl = self.kv_layout
+
         def prefill_local(params, prompt, true_len, k_pages, v_pages,
                           table_row):
             return _prefill_impl(params, cfg_local, prompt, true_len,
                                  k_pages, v_pages, table_row, ps,
-                                 psum_axis="tp")
+                                 psum_axis="tp", kv_layout=kvl)
 
         def decode_local(params, tokens, seq_lens, tables, k_pages,
                          v_pages):
             return _decode_impl(params, cfg_local, tokens, seq_lens,
                                 tables, k_pages, v_pages, ps,
-                                psum_axis="tp")
+                                psum_axis="tp", kv_layout=kvl)
 
         pre = jax.shard_map(
             prefill_local, mesh=mesh,
@@ -299,23 +338,27 @@ class Engine:
             out_specs=(P(None, None), pages_spec, pages_spec),
             check_vma=False)
         pre, dec = jax.jit(pre), jax.jit(dec)
+        # kv_layout was baked into the local closures above; the wrappers
+        # accept and drop the kwarg so call sites stay uniform
         self._prefill_fn = \
-            lambda params, cfg, prompt, tl, kp, vp, row, _ps: \
+            lambda params, cfg, prompt, tl, kp, vp, row, _ps, **_kw: \
             pre(params, prompt, tl, kp, vp, row)
         self._decode_fn = \
-            lambda params, cfg, tokens, sl, tbl, kp, vp, _ps: \
+            lambda params, cfg, tokens, sl, tbl, kp, vp, _ps, **_kw: \
             dec(params, tokens, sl, tbl, kp, vp)
 
         burst_cache = {}
 
-        def burst_fn(params, cfg, tokens, sl, tbl, kp, vp, _ps, n_steps):
+        def burst_fn(params, cfg, tokens, sl, tbl, kp, vp, _ps, n_steps,
+                     **_kw):
             if n_steps not in burst_cache:
                 f = jax.shard_map(
                     functools.partial(
                         lambda params, tokens, sl, tbl, kp, vp, n: (
                             _decode_burst_impl(params, cfg_local, tokens,
                                                sl, tbl, kp, vp, ps, n,
-                                               psum_axis="tp")),
+                                               psum_axis="tp",
+                                               kv_layout=kvl)),
                         n=n_steps),
                     mesh=mesh,
                     in_specs=(param_spec, P(None), P(None), P(None, None),
@@ -395,7 +438,8 @@ class Engine:
             last_logits, new_k, new_v = self._prefill_fn(
                 self.params, self.cfg, jnp.asarray(padded[None]),
                 jnp.int32(min(t, L)), self.cache.k_pages,
-                self.cache.v_pages, table_row, self.page_size)
+                self.cache.v_pages, table_row, self.page_size,
+                kv_layout=self.kv_layout)
             self.cache.k_pages, self.cache.v_pages = new_k, new_v
             newly.append((i, req, self.sample_fn(last_logits[None])))
             self.slots[i] = req
@@ -417,6 +461,11 @@ class Engine:
         self.finished.append(req)
         self.slots[i] = None
         self.alloc.release(i)
+        # reset the slot's decode state: a stale seq_len past the context
+        # bucket makes the (masked, ignored) inactive-slot decode write
+        # out of table bounds (see _decode_impl's clamp)
+        self.seq_lens[i] = 0
+        self.tokens[i] = 0
         self._host_dirty = True   # host seq_lens/tokens diverge from device
 
     def step(self, burst: int = 1) -> int:
@@ -446,7 +495,8 @@ class Engine:
         logits, new_k, new_v = self._decode_fn(
             self.params, self.cfg, jnp.asarray(self.tokens),
             jnp.asarray(self.seq_lens), self._ctx_table(2),
-            self.cache.k_pages, self.cache.v_pages, self.page_size)
+            self.cache.k_pages, self.cache.v_pages, self.page_size,
+            kv_layout=self.kv_layout)
         self.cache.k_pages, self.cache.v_pages = new_k, new_v
         self._host_dirty = True   # single-step path keeps host-side state
         next_tokens = np.asarray(self.sample_fn(logits))
@@ -492,7 +542,8 @@ class Engine:
         toks, last, lens, new_k, new_v = self._decode_burst_fn(
             self.params, self.cfg, d_tokens, d_lens,
             self._ctx_table(n + 1),
-            self.cache.k_pages, self.cache.v_pages, self.page_size, n)
+            self.cache.k_pages, self.cache.v_pages, self.page_size, n,
+            kv_layout=self.kv_layout)
         self.cache.k_pages, self.cache.v_pages = new_k, new_v
         self._d_tokens, self._d_seq_lens = last, lens
         self._host_dirty = False

@@ -61,22 +61,41 @@ class PagedKVCache:
 class PageAllocator:
     """Host-side physical-page free list + per-slot page tables."""
 
-    def __init__(self, num_pages: int, max_seqs: int, pages_per_seq: int):
+    def __init__(self, num_pages: int, max_seqs: int, pages_per_seq: int,
+                 contiguous: bool = False):
+        # incremented on every table mutation so callers can cache the
+        # device-side upload of `table` (the engine re-uploads only when
+        # this changes -- a per-burst upload costs a relay round trip)
+        self.version = 0
+        self.pages_per_seq = pages_per_seq
+        self.contiguous = contiguous
+        if contiguous:
+            # each slot owns the fixed page range [i*pps, (i+1)*pps): the
+            # engine's flash-contig layout. The table is PREASSIGNED and
+            # never mutates; no sink page is needed (a retired slot's
+            # stale positions are masked by seq_len and overwritten on
+            # reuse). Trades page sharing for gather-free attention.
+            assert num_pages >= max_seqs * pages_per_seq, \
+                (num_pages, max_seqs, pages_per_seq)
+            self.free = []
+            self.table = np.arange(
+                max_seqs * pages_per_seq, dtype=np.int32).reshape(
+                max_seqs, pages_per_seq)
+            self.seq_pages: List[List[int]] = [
+                list(self.table[i]) for i in range(max_seqs)]
+            return
         # page 0 is reserved as a scratch sink: inactive slots' page tables
         # are all-zero, so their (masked, never-read) decode writes land
         # there instead of corrupting live pages
         self.free = list(range(num_pages - 1, 0, -1))
         self.table = np.zeros((max_seqs, pages_per_seq), np.int32)
-        self.seq_pages: List[List[int]] = [[] for _ in range(max_seqs)]
-        self.pages_per_seq = pages_per_seq
-        # incremented on every table mutation so callers can cache the
-        # device-side upload of `table` (the engine re-uploads only when
-        # this changes -- a per-burst upload costs a relay round trip)
-        self.version = 0
+        self.seq_pages = [[] for _ in range(max_seqs)]
 
     def ensure(self, slot: int, seq_len: int, page_size: int) -> bool:
         """Allocate pages so `seq_len` positions fit. False if OOM."""
         need = -(-seq_len // page_size) if seq_len else 0
+        if self.contiguous:
+            return need <= self.pages_per_seq
         pages = self.seq_pages[slot]
         while len(pages) < need:
             if not self.free or len(pages) >= self.pages_per_seq:
@@ -88,6 +107,8 @@ class PageAllocator:
         return True
 
     def release(self, slot: int):
+        if self.contiguous:
+            return      # preassigned ranges never move
         if self.seq_pages[slot]:
             self.version += 1
         self.free.extend(reversed(self.seq_pages[slot]))
@@ -287,11 +308,138 @@ def flash_paged_decode(q: jax.Array, k_pages: jax.Array, v_pages: jax.Array,
     return out.reshape(b, nq, d)
 
 
+def _flash_contig_kernel(seq_ref, q_ref, k_ref, v_ref, o_ref,
+                         m_ref, l_ref, acc_ref, *, kb: int, scale: float):
+    """Flash decode over CONTIGUOUS per-slot KV regions: one (batch,
+    kv-head, ctx-block) grid step processes ``kb`` tokens with a plain
+    static BlockSpec -- no page table, no scalar-prefetched gather. The
+    update math is shared with the paged kernel
+    (:func:`_flash_decode_step`)."""
+    _flash_decode_step(
+        seq_ref, None, q_ref, k_ref[0].astype(jnp.float32),
+        v_ref[0].astype(jnp.float32), o_ref, m_ref, l_ref, acc_ref,
+        ps=kb, scale=scale)
+
+
+def _flash_contig_kernel_q(seq_ref, q_ref, k_ref, ks_ref, v_ref, vs_ref,
+                           o_ref, m_ref, l_ref, acc_ref, *, kb: int,
+                           scale: float):
+    """Quantized contiguous variant: int8 KV + per-token scales."""
+    _flash_decode_step(
+        seq_ref, None, q_ref,
+        k_ref[0].astype(jnp.float32) * ks_ref[0],
+        v_ref[0].astype(jnp.float32) * vs_ref[0],
+        o_ref, m_ref, l_ref, acc_ref, ps=kb, scale=scale)
+
+
+# tokens per contiguous flash compute block: the multi-page compute block
+# of the upstream kernel, realized as a plain block over the contiguous
+# slot region. 512 x 64 bf16 = 64 KB per operand block -- big enough that
+# the per-grid-step overhead (the ps=16 page-grid killer, PERF_NOTES
+# paged-attention addendum) amortizes, small enough for any VMEM budget.
+CONTIG_BLOCK_TOKENS = 512
+
+
+def flash_contig_decode(q: jax.Array, k_pool, v_pool, seq_lens: jax.Array,
+                        ctx_bucket: int, max_ctx: int,
+                        interpret: bool = False) -> jax.Array:
+    """Flash decode attention over a CONTIGUOUS-slot KV pool.
+
+    ``k_pool/v_pool``: ``[h, slots * max_ctx, d]`` (or (int8 pool,
+    scales [h, slots*max_ctx, 1]) pairs) where slot ``b`` owns positions
+    ``[b*max_ctx, b*max_ctx + ctx)`` -- the engine's contiguous layout
+    (the page pool reshaped; each slot's pages are preassigned in order,
+    so the region IS contiguous). Only the first ``ctx_bucket`` positions
+    of each slot participate (power-of-two context bucketing, compiled
+    per bucket). q: [b, nq, d] -> [b, nq, d].
+
+    Unlike the per-page grid (ps=16 blocks: MXU ~1% utilized, 10x slower
+    than dense-gather at serving shapes), blocks here are
+    ``CONTIG_BLOCK_TOKENS`` wide with STATIC index maps, so the kernel
+    reads the KV pool exactly once at full DMA width with zero gather --
+    the dense-gather path's 3x traffic (pool -> gathered view -> attention
+    reads) collapses to 1x.
+    """
+    from jax.experimental.pallas import tpu as pltpu
+
+    quantized = isinstance(k_pool, tuple)
+    kp = k_pool[0] if quantized else k_pool
+    b, nq, d = q.shape
+    h = kp.shape[0]
+    rep = nq // h
+    kb = min(CONTIG_BLOCK_TOKENS, ctx_bucket)
+    assert ctx_bucket % kb == 0 and max_ctx % kb == 0, \
+        (ctx_bucket, max_ctx, kb)
+    nblk = ctx_bucket // kb
+    stride = max_ctx // kb       # ctx blocks per slot region
+    qh = q.reshape(b, h, rep, d)
+    scale = 1.0 / np.sqrt(d)
+    rp8 = -(-rep // 8) * 8
+    dp = -(-d // 128) * 128
+
+    kv_spec = pl.BlockSpec((1, kb, d),
+                           lambda b_, h_, i, seq: (h_, b_ * stride + i, 0))
+    sc_spec = pl.BlockSpec((1, kb, 1),
+                           lambda b_, h_, i, seq: (h_, b_ * stride + i, 0))
+    q_spec = pl.BlockSpec((1, 1, rep, d),
+                          lambda b_, h_, i, seq: (b_, h_, 0, 0))
+    if quantized:
+        in_specs = [q_spec, kv_spec, sc_spec, kv_spec, sc_spec]
+        args = (qh, k_pool[0], k_pool[1], v_pool[0], v_pool[1])
+        kern = functools.partial(_flash_contig_kernel_q, kb=kb, scale=scale)
+    else:
+        in_specs = [q_spec, kv_spec, kv_spec]
+        args = (qh, k_pool, v_pool)
+        kern = functools.partial(_flash_contig_kernel, kb=kb, scale=scale)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, h, nblk),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, 1, rep, d),
+                               lambda b_, h_, i, seq: (b_, h_, 0, 0)),
+        scratch_shapes=[pltpu.VMEM((rp8, 128), jnp.float32),
+                        pltpu.VMEM((rp8, 128), jnp.float32),
+                        pltpu.VMEM((rp8, dp), jnp.float32)],
+    )
+    out = pl.pallas_call(
+        kern, grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, h, rep, d), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        interpret=interpret,
+    )(seq_lens.astype(jnp.int32), *args)
+    return out.reshape(b, nq, d)
+
+
 # Largest gathered-context footprint (k+v dense views, bytes) for which
 # decode attention takes the dense-gather path; measured crossover on the
 # v5e-class chip -- see paged_attention's docstring and
 # benchmarks/bench_paged_attn_*.json
 DENSE_CTX_BYTES = 256 * 1024 * 1024
+
+
+def contig_attention(q: jax.Array, k_pages, v_pages,
+                     seq_lens: jax.Array, table: jax.Array) -> jax.Array:
+    """Decode attention over the CONTIGUOUS slot layout
+    (PageAllocator(contiguous=True)): the page pool viewed as flat
+    ``[h, P*ps, d]`` regions, attended by :func:`flash_contig_decode`
+    with static index maps -- no gather, no page table on the hot path.
+    ``table`` only conveys the context BUCKET width (columns)."""
+    quantized = isinstance(k_pages, tuple)
+    kp = k_pages[0] if quantized else k_pages
+    b = q.shape[0]
+    h, P, ps, d = kp.shape
+    ctx_bucket = table.shape[1] * ps
+    max_ctx = P * ps // b
+    flat = (lambda p: p.reshape(h, P * ps, -1))
+    k_pool = ((flat(k_pages[0]), flat(k_pages[1])) if quantized
+              else flat(k_pages))
+    v_pool = ((flat(v_pages[0]), flat(v_pages[1])) if quantized
+              else flat(v_pages))
+    return flash_contig_decode(
+        q, k_pool, v_pool, seq_lens, ctx_bucket, max_ctx,
+        interpret=jax.default_backend() != "tpu")
 
 
 def paged_attention(q: jax.Array, k_pages: jax.Array, v_pages: jax.Array,

@@ -514,3 +514,72 @@ class TestEngineQuantizedEmbeddings:
         done = e.run()
         np.testing.assert_array_equal(np.asarray(done[0].out_tokens),
                                       np.asarray(ref[0, 5:]))
+
+
+class TestContigLayout:
+    """Contiguous-slot KV layout: gather-free flash decode over fixed
+    per-slot regions (kv_cache.flash_contig_decode). Must reproduce the
+    paged engine's tokens exactly -- same math, different memory plan."""
+
+    def test_contig_engine_matches_generate(self, tiny):
+        cfg, params = tiny
+        prompt = np.asarray(
+            jax.random.randint(jax.random.PRNGKey(2), (6,), 0,
+                               cfg.vocab_size))
+        ref = generate.generate(params, cfg, jnp.asarray(prompt[None]),
+                                max_new_tokens=6)
+        e = eng.Engine(params, cfg, max_slots=2, max_ctx=64, page_size=8,
+                       kv_layout="contig")
+        assert e.max_ctx % kvc.CONTIG_BLOCK_TOKENS == 0
+        e.submit(prompt, max_new_tokens=6)
+        done = e.run()
+        np.testing.assert_array_equal(np.asarray(done[0].out_tokens),
+                                      np.asarray(ref[0, 6:]))
+
+    def test_contig_burst_continuous_batching(self, tiny):
+        cfg, params = tiny
+        rng = np.random.RandomState(3)
+        prompts = [rng.randint(0, cfg.vocab_size, size=n).astype(np.int32)
+                   for n in (4, 7, 5)]
+        refs = [np.asarray(generate.generate(
+            params, cfg, jnp.asarray(p[None]),
+            max_new_tokens=4)[0, len(p):]) for p in prompts]
+        e = eng.Engine(params, cfg, max_slots=2, max_ctx=32, page_size=8,
+                       kv_layout="contig")
+        uids = [e.submit(p, max_new_tokens=4) for p in prompts]
+        done = e.run(burst=2)
+        by_uid = {r.uid: r for r in done}
+        for uid, ref in zip(uids, refs):
+            np.testing.assert_array_equal(
+                np.asarray(by_uid[uid].out_tokens), ref)
+
+    def test_flash_contig_matches_dense(self):
+        # kernel-level: contig flash == dense attention over the same pool
+        rng = np.random.RandomState(4)
+        b, h, rep, d, ps = 2, 2, 2, 32, 8
+        max_ctx, ctx_bucket = 512, 64
+        pps = max_ctx // ps
+        P = b * pps
+        k_pages = jnp.asarray(rng.standard_normal((h, P, ps, d))
+                              ).astype(jnp.float32)
+        v_pages = jnp.asarray(rng.standard_normal((h, P, ps, d))
+                              ).astype(jnp.float32)
+        table = jnp.asarray(np.arange(P, dtype=np.int32).reshape(b, pps)
+                            [:, :ctx_bucket // ps])
+        seq_lens = jnp.asarray([37, 20], jnp.int32)
+        q = jnp.asarray(rng.standard_normal((b, h * rep, d))
+                        ).astype(jnp.float32)
+        want = kvc._dense_paged_attention(q, k_pages, v_pages, seq_lens,
+                                          table)
+        got = kvc.contig_attention(q, k_pages, v_pages, seq_lens, table)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-4, atol=2e-5)
+
+    def test_contig_allocator_fixed_ranges(self):
+        a = kvc.PageAllocator(4 * 8, 4, 8, contiguous=True)
+        assert a.ensure(2, 64, 8)
+        assert not a.ensure(2, 65, 8)      # beyond the slot's region
+        t0 = a.table.copy()
+        a.release(2)
+        np.testing.assert_array_equal(a.table, t0)   # ranges never move
+        assert a.version == 0

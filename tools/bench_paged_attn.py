@@ -99,6 +99,18 @@ def main():
             ps),
         "dense_gather": build_chain(kvc._dense_paged_attention, ps),
     }
+    contig_ins = None
+    if args.ctx % kvc.CONTIG_BLOCK_TOKENS == 0 or args.ctx <= \
+            kvc.CONTIG_BLOCK_TOKENS:
+        # contiguous-slot layout: slot b owns pages [b*pps, (b+1)*pps)
+        # with no sink page, so slice page 0 off the benchmark pools and
+        # renumber the table from 0
+        kc_ = k_pages[:, 1:]
+        vc_ = v_pages[:, 1:]
+        tc_ = jnp.asarray(
+            np.arange(b * pps, dtype=np.int32).reshape(b, pps))
+        contig_ins = (q, kc_, vc_, seq_lens, tc_)
+        fns["flash_contig"] = build_chain(kvc.contig_attention, ps)
     if d % 128 == 0 and jax.default_backend() == "tpu":
         from jax.experimental.pallas.ops.tpu.paged_attention import (
             paged_attention as upstream_pa)
@@ -110,8 +122,10 @@ def main():
                 pages_per_compute_block=min(8, pps))
         fns["upstream_pa"] = build_chain(upstream, ps)
     ins = (q, k_pages, v_pages, seq_lens, table)
-    for f in fns.values():                       # compile + warm
-        jax.block_until_ready(f(*ins))
+    ins_of = {n: (contig_ins if n == "flash_contig" else ins)
+              for n in fns}
+    for n, f in fns.items():                     # compile + warm
+        jax.block_until_ready(f(*ins_of[n]))
 
     out = {"b": b, "h": h, "rep": rep, "d": d, "ctx": args.ctx,
            "seq": args.seq, "reps": REPS}
@@ -119,7 +133,7 @@ def main():
     for name, f in fns.items():
         with tempfile.TemporaryDirectory() as td:
             with jax.profiler.trace(td):
-                y = f(*ins)
+                y = f(*ins_of[name])
                 float(np.asarray(jax.device_get(y[0][0, 0, 0])))
             ops = device_op_times(td)
         tot = sum(sum(v) for k, v in ops.items()
@@ -131,7 +145,7 @@ def main():
     for _ in range(args.rounds):
         for name, f in fns.items():
             t0 = time.perf_counter()
-            y = f(*ins)
+            y = f(*ins_of[name])
             float(np.asarray(jax.device_get(y[0][0, 0, 0])))
             walls[name] = min(walls[name], time.perf_counter() - t0)
     for name, w in walls.items():
