@@ -188,9 +188,14 @@ def quantize_tensor(w: jax.Array, fmt: str = "any4", group_size: int = 128,
         # us/layer at 4096^2 m=1 (benchmarks/lab_any4_r3.json); the
         # production any4 deployment format. LUT stored TRANSPOSED
         # [16, n] to match the kernel's lane-blocked table spec.
-        assert group_size % 128 == 0, \
-            "any4t requires group_size a multiple of 128 (plane-constant " \
-            "affine for the post-dot epilogue); use fmt='any4' otherwise"
+        if group_size % 128 != 0:
+            # sub-128 groups (e.g. a layer narrower than one lane tile)
+            # have no plane-constant affine for the transposed post-dot
+            # epilogue: fall back to the row-major packing -- same
+            # numbers, fused-table kernel
+            return quantize_tensor(w, "any4", group_size,
+                                   row_shards=row_shards,
+                                   scale_only=symmetric, **kwargs)
         codes, lut01, scales, zeros = anyq.any4_quantize(
             w, n_bit=4, group_size=group_size, scale_only=symmetric,
             **kwargs)
