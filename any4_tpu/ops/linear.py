@@ -25,6 +25,8 @@ from .pallas import gemv
 
 # formats whose packed codes are 4-bit planar words
 _NIBBLE_FMTS = ("int4", "any4", "nf4", "fp4", "mx4")
+# transposed (k-on-sublanes) packings: the sublane-gather LUT kernels
+TRANSPOSED_FMTS = ("any4t", "nf4t", "fp4t")
 # m threshold below which the fused GEMV kernel is used. Measured on
 # hardware (tools/tune_m.py, benchmarks/tune_m_{int4p,any4}_4096.json):
 # the kernel's cost is dominated by per-weight-element dequant work, so
@@ -206,6 +208,17 @@ def quantize_tensor(w: jax.Array, fmt: str = "any4", group_size: int = 128,
         packed = packing.pack_int4(codes, row_shards)
         zeros = jnp.zeros_like(scales)
         lut = jnp.asarray(get_table(fmt))[None, :]
+    elif fmt in ("nf4t", "fp4t"):
+        # nf4/fp4 numbers in the transposed sublane-gather packing (the
+        # any4t layout with the global codebook; kernel fmt "lut4t")
+        base = fmt[:-1]
+        if group_size % 128 != 0:
+            return quantize_tensor(w, base, group_size,
+                                   row_shards=row_shards, **kwargs)
+        codes, scales = quant.lut_quantize(w, base, group_size)
+        packed = packing.pack_int4_transposed(codes, row_shards)
+        zeros = jnp.zeros_like(scales)
+        lut = jnp.asarray(get_table(base))[None, :].T      # [16, 1]
     elif fmt == "mx4":
         codes, exps = quant.mx4_quantize(w, group_size)
         packed = packing.pack_int4(codes, row_shards)
@@ -262,7 +275,7 @@ def dequantize_tensor(qt: QuantizedTensor, dtype=None) -> jax.Array:
     the analog of tinygemm's `tinygemm_dequant_int4`,
     TinyGemmDequantize.cu:19-58)."""
     from dataclasses import replace as _replace
-    transposed = qt.fmt == "any4t"
+    transposed = qt.fmt in TRANSPOSED_FMTS
     k_axis = 0 if transposed else 1   # packed axis carrying (packed) k
     if qt.row_shards > 1:
         S = qt.row_shards
@@ -420,8 +433,9 @@ def _kernel_fmt(fmt: str, lut: Optional[jax.Array] = None) -> str:
         # kernel's per-row BlockSpec would misread a [1, 16] table, so this
         # variant runs on the shared-table kernel path like nf4/fp4
         return "lut4"
-    if fmt == "any4t" and lut is not None and lut.shape[1] == 1:
-        return "lut4t"   # global-LUT any4 in the transposed layout
+    if fmt in ("nf4t", "fp4t") or (
+            fmt == "any4t" and lut is not None and lut.shape[1] == 1):
+        return "lut4t"   # global codebook in the transposed layout
     return fmt
 
 
@@ -505,7 +519,7 @@ def linear(x: jax.Array, w, bias: Optional[jax.Array] = None, *,
                 xr = xq[..., :k_log].reshape(*lead, k_log // 128, 128)
                 xq = jnp.repeat(xr, 2, axis=-2).reshape(*lead, 2 * k_log)
                 gs = 128  # plane-granular scales on the doubled axis
-            n_local = (w.packed.shape[1] if w.fmt == "any4t" else
+            n_local = (w.packed.shape[1] if w.fmt in TRANSPOSED_FMTS else
                        w.packed.shape[0] *
                        (2 if w.fmt in ("int4p", "int8p") else 1))
             y = gemv.quantized_matmul(

@@ -59,7 +59,7 @@ def _qt_spec(kind: str, qt: lin.QuantizedTensor) -> lin.QuantizedTensor:
     of optional leaves so the pytree structures match). The transposed
     any4t layout swaps the packed axes (codes are [kp/8, n], LUT [16, n]),
     so its n/k sharding axes swap accordingly."""
-    transposed = qt.fmt == "any4t"
+    transposed = qt.fmt in lin.TRANSPOSED_FMTS
     has_row_lut = qt.lut is not None and (
         qt.lut.shape[1] == qt.shape[0] if transposed
         else qt.lut.shape[0] == qt.shape[0])
@@ -148,7 +148,7 @@ def _interleave_rows(leaf, sizes, tp: int):
             order.extend(range(off + i * per, off + (i + 1) * per))
     order = np.asarray(order)
     if isinstance(leaf, lin.QuantizedTensor):
-        if leaf.fmt == "any4t":
+        if leaf.fmt in lin.TRANSPOSED_FMTS:
             # transposed layout: output rows live on AXIS 1 of packed/lut
             lut = leaf.lut
             if lut is not None and lut.shape[1] == leaf.shape[0]:

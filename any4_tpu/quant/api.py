@@ -230,6 +230,8 @@ quant_methods = {
     "any4t": functools.partial(quantize_model, fmt="any4t"),
     "anyq": functools.partial(quantize_model, fmt="anyq"),
     "nf4": functools.partial(quantize_model, fmt="nf4"),
+    "nf4t": functools.partial(quantize_model, fmt="nf4t"),
     "fp4": functools.partial(quantize_model, fmt="fp4"),
+    "fp4t": functools.partial(quantize_model, fmt="fp4t"),
     "mx4": functools.partial(quantize_model, fmt="mx4", group_size=32),
 }
