@@ -38,10 +38,11 @@ import numpy as np
 
 REFERENCE_ANY4_SPEEDUP = 2.29  # A5000, K=4096 (reference README.md:455)
 REFERENCE_SPEEDUPS = {"any4": 2.29, "any4t": 2.29, "int4": 3.26,
-                      "nf4": 2.23, "int4p": 3.26, "int8p": 1.0,
-                      "w4a8": 3.26, "w8a8": 1.0}
+                      "nf4": 2.23, "nf4t": 2.23, "int4p": 3.26,
+                      "int8p": 1.0, "w4a8": 3.26, "w8a8": 1.0}
 LAYERS = 16  # GEMVs per chain; distinct weight buffers so each streams HBM
-FMTS = ("any4", "any4t", "int4", "int4p", "int8p", "nf4", "w4a8", "w8a8")
+FMTS = ("any4", "any4t", "int4", "int4p", "int8p", "nf4", "nf4t",
+        "w4a8", "w8a8")
 
 
 def timed_exec(f, args):
