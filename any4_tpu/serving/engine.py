@@ -512,25 +512,31 @@ class Engine:
                 self._retire(i)
         return len([s for s in self.slots if s is not None])
 
-    def _step_burst(self, burst: int) -> int:
+    def _dispatch_burst(self, burst: int, lookahead: int = 0):
+        """Admit + dispatch one burst WITHOUT fetching its tokens.
+        Returns (toks_device, n, [(slot, request)]), or None if nothing is
+        active. ``lookahead`` reserves page capacity for that many extra
+        positions beyond the burst (speculative pipelining)."""
         self._admit()
         active = [i for i, r in enumerate(self.slots) if r is not None]
         if not active:
-            return 0
+            return None
         # shrink the burst until every active slot has page capacity for
         # all of it; a slot that cannot even fit one more position retires
         # (out of pages), matching the single-step path
         n = burst
         for i in list(active):
             while n > 1 and not self.alloc.ensure(
-                    i, int(self.seq_lens[i]) + n + 1, self.page_size):
+                    i, int(self.seq_lens[i]) + n + lookahead + 1,
+                    self.page_size):
                 n //= 2
             if not self.alloc.ensure(i, int(self.seq_lens[i]) + 2,
                                      self.page_size):
-                self._retire(i)
-        active = [i for i, r in enumerate(self.slots) if r is not None]
-        if not active:
-            return 0
+                self._retire(i)  # out of pages: finish the sequence
+        live = [(i, self.slots[i]) for i in range(self.max_slots)
+                if self.slots[i] is not None]
+        if not live:
+            return None
         n = 1 << (n.bit_length() - 1)        # power-of-two compile buckets
         if self._host_dirty or self._d_tokens is None:
             d_tokens = jnp.asarray(self.tokens)
@@ -541,15 +547,22 @@ class Engine:
             d_tokens, d_lens = self._d_tokens, self._d_seq_lens
         toks, last, lens, new_k, new_v = self._decode_burst_fn(
             self.params, self.cfg, d_tokens, d_lens,
-            self._ctx_table(n + 1),
+            self._ctx_table(n + lookahead + 1),
             self.cache.k_pages, self.cache.v_pages, self.page_size, n,
             kv_layout=self.kv_layout)
         self.cache.k_pages, self.cache.v_pages = new_k, new_v
         self._d_tokens, self._d_seq_lens = last, lens
         self._host_dirty = False
+        return toks, n, live
+
+    def _absorb_burst(self, toks, n, live) -> int:
+        """Fetch a dispatched burst's tokens and do the host bookkeeping.
+        Slots retired since dispatch (pipelined mode) are skipped -- their
+        speculative tokens are discarded."""
         toks = np.asarray(toks)
-        for i in active:
-            req = self.slots[i]
+        for i, req in live:
+            if self.slots[i] is not req:
+                continue      # retired while this burst was in flight
             for j in range(n):
                 tok = int(toks[i, j])
                 req.out_tokens.append(tok)
@@ -562,9 +575,62 @@ class Engine:
                     break
         return len([s for s in self.slots if s is not None])
 
-    def run(self, max_steps: int = 10000, burst: int = 1) -> List[Request]:
-        """Drive until all submitted requests finish."""
+    def _step_burst(self, burst: int) -> int:
+        out = self._dispatch_burst(burst)
+        if out is None:
+            return 0
+        return self._absorb_burst(*out)
+
+    def _may_speculate(self, n: int) -> bool:
+        """Safe to dispatch the next burst before absorbing the previous
+        one? Requires: greedy sampling (already checked), no pending
+        admissions (an admission would reuse pages/slots the in-flight
+        burst still references), and page capacity for a full extra burst
+        on every active slot."""
+        if self.pending:
+            return False
+        if self._host_dirty or self._d_tokens is None:
+            return False  # device carry is stale; next dispatch would
+            # re-upload host state that predates the in-flight burst
+        for i, r in enumerate(self.slots):
+            if r is not None and not self.alloc.ensure(
+                    i, int(self.seq_lens[i]) + 2 * n + 1, self.page_size):
+                return False
+        return True
+
+    def run(self, max_steps: int = 10000, burst: int = 1,
+            pipeline: bool = False) -> List[Request]:
+        """Drive until all submitted requests finish.
+
+        ``pipeline=True`` (burst > 1, greedy only) dispatches burst k+1
+        off the device-resident carry BEFORE fetching burst k's tokens,
+        hiding the host fetch round trip behind device compute -- on a
+        relay-attached chip the fetch is ~40 ms, comparable to a whole
+        quantized burst. Slots that finish during burst k still decode
+        burst k+1 (their speculative tokens are discarded); admissions
+        force a sync boundary.
+        """
         steps = 0
+        if pipeline and burst > 1 and self._greedy:
+            inflight = None
+            while (inflight is not None or self.pending
+                    or any(s is not None for s in self.slots)) \
+                    and steps < max_steps:
+                if inflight is None:
+                    inflight = self._dispatch_burst(burst)
+                    steps += 1
+                    if inflight is None:
+                        continue
+                nxt = None
+                if self._may_speculate(inflight[1]):
+                    nxt = self._dispatch_burst(burst,
+                                               lookahead=inflight[1])
+                    steps += 1
+                self._absorb_burst(*inflight)
+                inflight = nxt
+            out = self.finished
+            self.finished = []
+            return out
         while (self.pending or any(s is not None for s in self.slots)) \
                 and steps < max_steps:
             self.step(burst)

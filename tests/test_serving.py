@@ -583,3 +583,45 @@ class TestContigLayout:
         a.release(2)
         np.testing.assert_array_equal(a.table, t0)   # ranges never move
         assert a.version == 0
+
+
+class TestPipelinedBursts:
+    """run(pipeline=True) overlaps the token fetch of burst k with the
+    dispatch of burst k+1; outputs must equal the sequential engine's."""
+
+    @pytest.mark.parametrize("layout", ["paged", "contig"])
+    def test_pipeline_matches_sequential(self, tiny, layout):
+        cfg, params = tiny
+        rng = np.random.RandomState(9)
+        prompts = [rng.randint(0, cfg.vocab_size, size=n).astype(np.int32)
+                   for n in (4, 7, 5, 6)]
+        want = []
+        e0 = eng.Engine(params, cfg, max_slots=2, max_ctx=64, page_size=8,
+                        kv_layout=layout)
+        uids0 = [e0.submit(p, max_new_tokens=6) for p in prompts]
+        by0 = {r.uid: r for r in e0.run(burst=2)}
+        e1 = eng.Engine(params, cfg, max_slots=2, max_ctx=64, page_size=8,
+                        kv_layout=layout)
+        uids1 = [e1.submit(p, max_new_tokens=6) for p in prompts]
+        by1 = {r.uid: r for r in e1.run(burst=2, pipeline=True)}
+        for u0, u1 in zip(uids0, uids1):
+            np.testing.assert_array_equal(
+                np.asarray(by0[u0].out_tokens),
+                np.asarray(by1[u1].out_tokens))
+
+    def test_pipeline_eos_truncates_speculation(self, tiny):
+        cfg, params = tiny
+        prompt = np.asarray([5, 9, 3, 7], np.int32)
+        e0 = eng.Engine(params, cfg, max_slots=1, max_ctx=64, page_size=8)
+        e0.submit(prompt, max_new_tokens=12)
+        ref = e0.run(burst=2)[0].out_tokens
+        eos = ref[3]   # force an EOS mid-run (stops at its FIRST hit)
+        want = ref[:ref.index(eos) + 1]
+        e1 = eng.Engine(params, cfg, max_slots=1, max_ctx=64, page_size=8)
+        e1.submit(prompt, max_new_tokens=12, eos_token_id=eos)
+        got = e1.run(burst=2, pipeline=True)[0].out_tokens
+        assert got == want
+        # and the sequential engine agrees
+        e2 = eng.Engine(params, cfg, max_slots=1, max_ctx=64, page_size=8)
+        e2.submit(prompt, max_new_tokens=12, eos_token_id=eos)
+        assert e2.run(burst=2)[0].out_tokens == want

@@ -37,6 +37,11 @@ def main():
     p.add_argument("--burst", type=int, default=1,
                    help="decode steps fused per dispatch "
                         "(Engine.step burst)")
+    p.add_argument("--pipeline", action="store_true",
+                   help="dispatch burst k+1 before fetching burst k's "
+                        "tokens (hides the host fetch round trip)")
+    p.add_argument("--kv-layout", default="paged",
+                   choices=["paged", "contig"])
     p.add_argument("--cpu", action="store_true")
     args = p.parse_args()
     if args.cpu:
@@ -61,7 +66,8 @@ def main():
               file=sys.stderr)
 
     e = eng.Engine(params, cfg, max_slots=args.slots, max_ctx=args.max_ctx,
-                   page_size=16, kv_quantize=args.kv_quantize)
+                   page_size=16, kv_quantize=args.kv_quantize,
+                   kv_layout=args.kv_layout)
     rng = np.random.RandomState(0)
 
     # warm by running the FULL workload once untimed: the burst program
@@ -74,11 +80,11 @@ def main():
             e.submit(rng.randint(0, cfg.vocab_size, size=args.prompt_len)
                      .astype(np.int32), max_new_tokens=args.new_tokens)
     submit_all()
-    e.run(burst=args.burst)
+    e.run(burst=args.burst, pipeline=args.pipeline)
 
     submit_all()
     t0 = time.time()
-    done = e.run(burst=args.burst)
+    done = e.run(burst=args.burst, pipeline=args.pipeline)
     dt = time.time() - t0
     total_tokens = sum(len(r.out_tokens) for r in done)
     out = {"size": args.size, "fmt": args.fmt or "bf16",
@@ -87,6 +93,7 @@ def main():
            "wall_s": round(dt, 2),
            "tok_s": round(total_tokens / dt, 2),
            "kv_quantize": args.kv_quantize, "burst": args.burst,
+           "pipeline": args.pipeline, "kv_layout": args.kv_layout,
            "quantize_embeddings": args.quantize_embeddings}
     print(json.dumps(out))
 
