@@ -301,8 +301,8 @@ def main():
     # attach the north-star e2e artifact (tokens/s/chip quantized decode,
     # tools/bench_decode.py) when a recorded run exists
     decode = {}
-    for fmt in ("w4a8", "int4p", "any4"):
-        for tag in ("burst256", "burst", "r2b", "r2"):
+    for fmt in ("w4a8", "int4p", "any4t", "any4"):
+        for tag in ("r3", "burst256", "burst", "r2b", "r2"):
             try:
                 with open(f"benchmarks/bench_decode_1b_{fmt}_{tag}.log") as f:
                     for ln in f:
