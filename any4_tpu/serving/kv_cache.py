@@ -472,19 +472,59 @@ def flash_contig_decode(q: jax.Array, k_pool, v_pool, seq_lens: jax.Array,
 DENSE_CTX_BYTES = 256 * 1024 * 1024
 
 
+def _contig_ctx_view(pages, b: int, ctx_bucket: int):
+    """Dense ``[h, b, ctx_bucket, d]`` context view of a CONTIGUOUS-slot
+    pool: slot ``i`` owns pages ``[i*pps, (i+1)*pps)``, so the "gather" is
+    a layout-preserving reshape + static slice -- zero data movement
+    (the paged layout's :func:`gather_ctx_hmajor` pays a real gather).
+    Dequantizes int8 pools."""
+    if isinstance(pages, tuple):
+        from jax.experimental.pallas.ops.tpu.paged_attention import (
+            quantization_utils as qu)
+        g = _contig_ctx_view(pages[0], b, ctx_bucket).astype(jnp.float32)
+        sc = _contig_ctx_view(pages[1], b, ctx_bucket)
+        return qu.from_int8(g, sc, dtype=jnp.float32)
+    h, P, ps, d = pages.shape
+    return pages.reshape(h, b, P * ps // b, d)[:, :, :ctx_bucket]
+
+
 def contig_attention(q: jax.Array, k_pages, v_pages,
-                     seq_lens: jax.Array, table: jax.Array) -> jax.Array:
+                     seq_lens: jax.Array, table: jax.Array,
+                     impl: str = "") -> jax.Array:
     """Decode attention over the CONTIGUOUS slot layout
-    (PageAllocator(contiguous=True)): the page pool viewed as flat
-    ``[h, P*ps, d]`` regions, attended by :func:`flash_contig_decode`
-    with static index maps -- no gather, no page table on the hot path.
-    ``table`` only conveys the context BUCKET width (columns)."""
+    (PageAllocator(contiguous=True)). ``table`` only conveys the context
+    BUCKET width (columns).
+
+    Dispatch mirrors :func:`paged_attention`'s measured crossover: below
+    ``DENSE_CTX_BYTES`` the dense slice view + XLA einsums win (the
+    flash_contig kernel is MXU-pass-bound at decode shapes -- its tiny
+    per-head [rep, d] dots leave the systolic array mostly idle: 52.7 vs
+    dense 30.8 us at b=8/ctx=512/hd=64, benchmarks/
+    bench_paged_attn_b8_ctx512.json -- and on the contig layout the dense
+    view is a FREE reshape+slice, not even a gather). Above the
+    threshold, :func:`flash_contig_decode` reads the pool exactly once
+    with static 512-token blocks. ``ANY4_CONTIG_IMPL`` in {dense, flash}
+    overrides for benchmarking."""
     quantized = isinstance(k_pages, tuple)
     kp = k_pages[0] if quantized else k_pages
     b = q.shape[0]
     h, P, ps, d = kp.shape
     ctx_bucket = table.shape[1] * ps
     max_ctx = P * ps // b
+    on_tpu = jax.default_backend() == "tpu"
+    impl = impl or os.environ.get("ANY4_CONTIG_IMPL", "")
+    if not impl:
+        dense_bytes = 2 * b * ctx_bucket * h * d * 2
+        if not on_tpu:
+            # CI mirror of paged_attention: quantized pools take the
+            # dense path, unquantized keep the kernel interpret-covered
+            impl = "dense" if quantized else "flash"
+        else:
+            impl = "dense" if dense_bytes <= DENSE_CTX_BYTES else "flash"
+    if impl == "dense":
+        kctx = _contig_ctx_view(k_pages, b, ctx_bucket)
+        vctx = _contig_ctx_view(v_pages, b, ctx_bucket)
+        return _dense_attend(q, kctx, vctx, seq_lens)
     flat = (lambda p: p.reshape(h, P * ps, -1))
     k_pool = ((flat(k_pages[0]), flat(k_pages[1])) if quantized
               else flat(k_pages))
@@ -492,7 +532,7 @@ def contig_attention(q: jax.Array, k_pages, v_pages,
               else flat(v_pages))
     return flash_contig_decode(
         q, k_pool, v_pool, seq_lens, ctx_bucket, max_ctx,
-        interpret=jax.default_backend() != "tpu")
+        interpret=not on_tpu)
 
 
 def paged_attention(q: jax.Array, k_pages: jax.Array, v_pages: jax.Array,
@@ -563,19 +603,24 @@ def _dense_paged_attention(q, k_pages, v_pages, seq_lens, table):
     off-TPU reference; also selectable on TPU via ANY4_PAGED_IMPL=dense
     for benchmarking -- at small contexts the materialized gather can beat
     a page-grid kernel whose per-grid-step overhead dominates)."""
-    b, nq, d = q.shape
-    quantized = isinstance(k_pages, tuple)
-    h = (k_pages[0] if quantized else k_pages).shape[0]
-    rep = nq // h
     kctx = gather_ctx_hmajor(k_pages, table)        # [h, b, ctx, d]
     vctx = gather_ctx_hmajor(v_pages, table)
-    # grouped-head GQA dots (q heads grouped per kv head) -- no
-    # jnp.repeat: expanding KV to nq heads materializes rep x the
-    # context and showed up as ~250 us/step of broadcast+convert in the
-    # 1B engine profile. The big operands stay in the gather-native
-    # [h, b, c, d] order with (h, b) as leading dot batch dims -- a
-    # [b, c, h, d] view forced 4.2 MB layout copies of both the views
-    # and the pools every step. bf16 inputs, f32 MXU accumulation.
+    return _dense_attend(q, kctx, vctx, seq_lens)
+
+
+def _dense_attend(q, kctx, vctx, seq_lens):
+    """Decode attention over a dense ``[h, b, ctx, d]`` context view.
+
+    Grouped-head GQA dots (q heads grouped per kv head) -- no
+    jnp.repeat: expanding KV to nq heads materializes rep x the
+    context and showed up as ~250 us/step of broadcast+convert in the
+    1B engine profile. The big operands stay in the view-native
+    [h, b, c, d] order with (h, b) as leading dot batch dims -- a
+    [b, c, h, d] view forced 4.2 MB layout copies of both the views
+    and the pools every step. bf16 inputs, f32 MXU accumulation."""
+    b, nq, d = q.shape
+    h = kctx.shape[0]
+    rep = nq // h
     qh = q.reshape(b, h, rep, d).transpose(1, 0, 2, 3)   # [h, b, rep, d]
     scale = 1.0 / np.sqrt(d)
     logits = jnp.einsum("hbrd,hbcd->hbrc", qh * scale, kctx,

@@ -329,25 +329,22 @@ def main():
         out["e2e_decode_1b"] = {
             k: {"tok_s": v.get(f"{k}_tok_s"), "bf16_tok_s": v.get("bf16_tok_s"),
                 "speedup": v.get("speedup")} for k, v in decode.items()}
-    # north-star ENGINE artifact (continuous batching + contig/paged KV,
-    # tools/bench_engine.py, adjacent-window runs): quantized vs bf16
+    # north-star ENGINE artifact: bf16 vs quantized serving throughput
+    # alternated IN ONE PROCESS (tools/bench_engine_ab.py -- regime-
+    # robust; the adjacent-window runs it superseded are kept as
+    # bench_engine_1b_{bf16,w4a8_qemb}_r3.json)
     try:
-        eng = {}
-        for tag in ("bf16", "w4a8_qemb"):
-            with open(f"benchmarks/bench_engine_1b_{tag}_r3.json") as f:
-                for ln in f:
-                    if ln.startswith("{"):
-                        eng[tag] = json.loads(ln)
-        if eng.get("bf16") and eng.get("w4a8_qemb"):
-            out["engine_1b"] = {
-                "bf16_tok_s": eng["bf16"]["tok_s"],
-                "w4a8_qemb_tok_s": eng["w4a8_qemb"]["tok_s"],
-                "speedup": round(
-                    eng["w4a8_qemb"]["tok_s"] / eng["bf16"]["tok_s"], 3),
-                "config": {k: eng["w4a8_qemb"].get(k) for k in
-                           ("slots", "burst", "pipeline", "kv_layout")},
-            }
-    except (OSError, json.JSONDecodeError, KeyError, ZeroDivisionError):
+        with open("benchmarks/bench_engine_ab_1b_w4a8_r3.json") as f:
+            ab = json.loads(f.readline())
+        out["engine_1b"] = {
+            "bf16_tok_s": ab["bf16_tok_s"],
+            "w4a8_qemb_tok_s": ab["tok_s"],
+            "speedup": ab["speedup"],
+            "rounds": ab.get("rounds"),
+            "config": {k: ab.get(k) for k in
+                       ("slots", "burst", "pipeline", "kv_layout")},
+        }
+    except (OSError, json.JSONDecodeError, KeyError):
         pass
     # regime bracket (VERDICT r2 weak #7): a fresh DEVICE-time capture of
     # every format in ONE profiler state, attached alongside the wall

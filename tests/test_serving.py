@@ -571,9 +571,14 @@ class TestContigLayout:
                         ).astype(jnp.float32)
         want = kvc._dense_paged_attention(q, k_pages, v_pages, seq_lens,
                                           table)
-        got = kvc.contig_attention(q, k_pages, v_pages, seq_lens, table)
-        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
-                                   rtol=2e-4, atol=2e-5)
+        for impl in ("flash", "dense"):
+            # "flash" = the contig flash kernel (interpret off-TPU);
+            # "dense" = the free reshape+slice view + XLA einsums
+            got = kvc.contig_attention(q, k_pages, v_pages, seq_lens,
+                                       table, impl=impl)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                       rtol=2e-4, atol=2e-5,
+                                       err_msg=impl)
 
     def test_contig_allocator_fixed_ranges(self):
         a = kvc.PageAllocator(4 * 8, 4, 8, contiguous=True)

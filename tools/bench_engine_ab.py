@@ -1,0 +1,118 @@
+#!/usr/bin/env python
+"""Regime-robust engine A/B: bf16 vs quantized serving throughput
+ALTERNATED inside one process (the pool's DVFS regime flips over
+minutes, so process-per-config comparisons can land in different
+regimes -- bench.py kernel methodology, applied to the engine).
+
+Both engines are built once, the full workload is prewarmed on each,
+then R alternating timed rounds run A, B, A, B, ...; the per-config
+BEST tok/s (fastest window) is the headline and every round is
+recorded.
+
+  python tools/bench_engine_ab.py --size 1b --fmt w4a8 \
+      --quantize-embeddings w8a8 --slots 8 --burst 16 --pipeline \
+      --kv-layout contig
+Run ALONE on the TPU host.
+"""
+import argparse
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import jax
+import numpy as np
+
+from tools.bench_decode import SIZES
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--size", default="1b", choices=sorted(SIZES))
+    p.add_argument("--fmt", default="w4a8")
+    p.add_argument("--quantize-embeddings", default=None)
+    p.add_argument("--slots", type=int, default=8)
+    p.add_argument("--max-ctx", type=int, default=512)
+    p.add_argument("--prompt-len", type=int, default=64)
+    p.add_argument("--new-tokens", type=int, default=128)
+    p.add_argument("--requests", type=int, default=16)
+    p.add_argument("--group-size", type=int, default=128)
+    p.add_argument("--burst", type=int, default=16)
+    p.add_argument("--pipeline", action="store_true")
+    p.add_argument("--kv-layout", default="contig",
+                   choices=["paged", "contig"])
+    p.add_argument("--rounds", type=int, default=3,
+                   help="alternating timed rounds per config")
+    p.add_argument("--out", default=None, help="also write JSON here")
+    p.add_argument("--cpu", action="store_true")
+    args = p.parse_args()
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from any4_tpu.models import llama
+    from any4_tpu.quant import api
+    from any4_tpu.serving import engine as eng
+
+    cfg = llama.LlamaConfig(**SIZES[args.size])
+    params = llama.init_params(cfg, jax.random.PRNGKey(0))
+    kw = dict(kmeans_iters=4) if args.fmt == "any4" else {}
+    if args.quantize_embeddings:
+        kw["quantize_embeddings"] = args.quantize_embeddings
+    t0 = time.time()
+    qparams = api.quant_methods[args.fmt](
+        params, group_size=args.group_size, **kw)
+    print(f"quantized ({args.fmt}) in {time.time()-t0:.0f}s",
+          file=sys.stderr)
+
+    def make_engine(par):
+        return eng.Engine(par, cfg, max_slots=args.slots,
+                          max_ctx=args.max_ctx, page_size=16,
+                          kv_layout=args.kv_layout)
+
+    engines = {"bf16": make_engine(params),
+               args.fmt: make_engine(qparams)}
+    rng_seed = np.random.RandomState(0)
+    prompts = [rng_seed.randint(0, cfg.vocab_size, size=args.prompt_len)
+               .astype(np.int32) for _ in range(args.requests)]
+
+    def workload(e):
+        for pr in prompts:
+            e.submit(pr, max_new_tokens=args.new_tokens)
+        t0 = time.time()
+        done = e.run(burst=args.burst, pipeline=args.pipeline)
+        dt = time.time() - t0
+        return sum(len(r.out_tokens) for r in done), dt
+
+    # prewarm the FULL workload on both engines (burst-program compiles
+    # per context bucket must happen outside the timed windows)
+    for name, e in engines.items():
+        n, dt = workload(e)
+        print(f"prewarm {name}: {n} tokens in {dt:.1f}s", file=sys.stderr)
+
+    rounds = {name: [] for name in engines}
+    for r in range(args.rounds):
+        for name, e in engines.items():
+            n, dt = workload(e)
+            rounds[name].append(round(n / dt, 2))
+            print(f"round {r} {name}: {n / dt:.1f} tok/s", file=sys.stderr)
+
+    best = {name: max(v) for name, v in rounds.items()}
+    out = {"size": args.size, "fmt": args.fmt,
+           "quantize_embeddings": args.quantize_embeddings,
+           "slots": args.slots, "max_ctx": args.max_ctx,
+           "burst": args.burst, "pipeline": args.pipeline,
+           "kv_layout": args.kv_layout, "requests": args.requests,
+           "new_tokens": args.new_tokens,
+           "rounds": rounds,
+           "bf16_tok_s": best["bf16"], "tok_s": best[args.fmt],
+           "speedup": round(best[args.fmt] / best["bf16"], 3)}
+    line = json.dumps(out)
+    print(line)
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(line + "\n")
+
+
+if __name__ == "__main__":
+    main()

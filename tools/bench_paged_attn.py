@@ -110,7 +110,10 @@ def main():
         tc_ = jnp.asarray(
             np.arange(b * pps, dtype=np.int32).reshape(b, pps))
         contig_ins = (q, kc_, vc_, seq_lens, tc_)
-        fns["flash_contig"] = build_chain(kvc.contig_attention, ps)
+        fns["flash_contig"] = build_chain(
+            functools.partial(kvc.contig_attention, impl="flash"), ps)
+        fns["dense_contig"] = build_chain(
+            functools.partial(kvc.contig_attention, impl="dense"), ps)
     if d % 128 == 0 and jax.default_backend() == "tpu":
         from jax.experimental.pallas.ops.tpu.paged_attention import (
             paged_attention as upstream_pa)
@@ -122,7 +125,7 @@ def main():
                 pages_per_compute_block=min(8, pps))
         fns["upstream_pa"] = build_chain(upstream, ps)
     ins = (q, k_pages, v_pages, seq_lens, table)
-    ins_of = {n: (contig_ins if n == "flash_contig" else ins)
+    ins_of = {n: (contig_ins if n.endswith("_contig") else ins)
               for n in fns}
     for n, f in fns.items():                     # compile + warm
         jax.block_until_ready(f(*ins_of[n]))
