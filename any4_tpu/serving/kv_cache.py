@@ -159,7 +159,10 @@ def gather_ctx_hmajor(pages, table: jax.Array) -> jax.Array:
         qpages, scales = pages
         g = gather_ctx_hmajor(qpages, table).astype(jnp.float32)
         sc = gather_ctx_hmajor(scales, table)
-        return qu.from_int8(g, sc, dtype=jnp.float32)
+        # bf16 view: the KV numbers are already int8-quantized, so bf16
+        # rounding is noise -- and the materialized dense view is the
+        # dominant HBM traffic of the dense path (f32 doubled it)
+        return qu.from_int8(g, sc, dtype=jnp.bfloat16)
     h, P, ps, d = pages.shape
     b, pps = table.shape
     g = pages[:, table.reshape(-1)]                 # [h, b*pps, ps, d]
@@ -483,7 +486,9 @@ def _contig_ctx_view(pages, b: int, ctx_bucket: int):
             quantization_utils as qu)
         g = _contig_ctx_view(pages[0], b, ctx_bucket).astype(jnp.float32)
         sc = _contig_ctx_view(pages[1], b, ctx_bucket)
-        return qu.from_int8(g, sc, dtype=jnp.float32)
+        # bf16 for the same reason as gather_ctx_hmajor: int8 KV numbers
+        # lose nothing to bf16, the view's HBM footprint halves
+        return qu.from_int8(g, sc, dtype=jnp.bfloat16)
     h, P, ps, d = pages.shape
     return pages.reshape(h, b, P * ps // b, d)[:, :, :ctx_bucket]
 
@@ -495,16 +500,18 @@ def contig_attention(q: jax.Array, k_pages, v_pages,
     (PageAllocator(contiguous=True)). ``table`` only conveys the context
     BUCKET width (columns).
 
-    Dispatch mirrors :func:`paged_attention`'s measured crossover: below
-    ``DENSE_CTX_BYTES`` the dense slice view + XLA einsums win (the
-    flash_contig kernel is MXU-pass-bound at decode shapes -- its tiny
-    per-head [rep, d] dots leave the systolic array mostly idle: 52.7 vs
-    dense 30.8 us at b=8/ctx=512/hd=64, benchmarks/
-    bench_paged_attn_b8_ctx512.json -- and on the contig layout the dense
-    view is a FREE reshape+slice, not even a gather). Above the
-    threshold, :func:`flash_contig_decode` reads the pool exactly once
-    with static 512-token blocks. ``ANY4_CONTIG_IMPL`` in {dense, flash}
-    overrides for benchmarking."""
+    Dispatch (measured, benchmarks/bench_paged_attn_b8_ctx{512,2048}
+    .json): for UNQUANTIZED pools the dense path is a pure
+    reshape+slice view feeding XLA einsums -- nothing materializes, the
+    bucketed pool is read exactly once at the HBM roofline (45.8 us at
+    b=8/ctx=2048/hd=64 = 732 GB/s effective, vs flash_contig 179.8 us:
+    the kernel's per-head [rep, d] dots are MXU-pass-bound) -- so dense
+    wins at EVERY context and is always taken. For int8-quantized pools
+    the dense path materializes a bf16 dequantized view of the bucket,
+    so :func:`flash_contig_decode` (in-kernel dequant, static 512-token
+    blocks) takes over above ``DENSE_CTX_BYTES`` of view -- an HBM
+    -capacity bound, not a speed crossover. ``ANY4_CONTIG_IMPL`` in
+    {dense, flash} overrides for benchmarking."""
     quantized = isinstance(k_pages, tuple)
     kp = k_pages[0] if quantized else k_pages
     b = q.shape[0]
@@ -519,8 +526,10 @@ def contig_attention(q: jax.Array, k_pages, v_pages,
             # CI mirror of paged_attention: quantized pools take the
             # dense path, unquantized keep the kernel interpret-covered
             impl = "dense" if quantized else "flash"
-        else:
+        elif quantized:
             impl = "dense" if dense_bytes <= DENSE_CTX_BYTES else "flash"
+        else:
+            impl = "dense"
     if impl == "dense":
         kctx = _contig_ctx_view(k_pages, b, ctx_bucket)
         vctx = _contig_ctx_view(v_pages, b, ctx_bucket)
