@@ -302,12 +302,17 @@ def main():
     # tools/bench_decode.py) when a recorded run exists
     decode = {}
     for fmt in ("w4a8", "int4p", "any4t", "any4"):
-        for tag in ("r3", "burst256", "burst", "r2b", "r2"):
+        for tag in ("qemb_r3", "r3", "burst256", "burst", "r2b", "r2"):
             try:
                 with open(f"benchmarks/bench_decode_1b_{fmt}_{tag}.log") as f:
                     for ln in f:
                         if ln.startswith("{"):
-                            decode.setdefault(fmt, json.loads(ln))
+                            rec = json.loads(ln)
+                            label = (f"{fmt}+qemb_{rec['quantize_embeddings']}"
+                                     if rec.get("quantize_embeddings")
+                                     else fmt)
+                            rec[f"{label}_tok_s"] = rec.get(f"{fmt}_tok_s")
+                            decode.setdefault(label, rec)
             except (OSError, json.JSONDecodeError):
                 pass
     # w4a8 + quantized (tied) embeddings: the fastest recorded decode
