@@ -28,6 +28,11 @@ import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
 
+# inverse of quantization_utils.MAX_INT8 (= 127.5): int8 pools store
+# code = rint(x * 127.5/amax) with scales = amax, so dequant multiplies
+# by amax/127.5
+_INV_MAX_INT8 = 1.0 / 127.5
+
 
 @dataclass
 class PagedKVCache:
@@ -180,11 +185,15 @@ def _flash_decode_kernel_q(seq_ref, tbl_ref, q_ref, k_ref, ks_ref, v_ref,
                            vs_ref, o_ref, m_ref, l_ref, acc_ref, *,
                            ps: int, scale: float):
     """Quantized-pool variant: int8 pages + per-token scales [.., ps, 1]
-    dequantized in-kernel before the flash update."""
+    dequantized in-kernel before the flash update. The pools are written
+    with ``quantization_utils.to_int8`` (code = rint(x * 127.5/amax),
+    scales = amax), so the inverse is ``code * amax / 127.5`` -- a plain
+    ``code * amax`` is 127.5x off (caught by
+    test_contig_attention_quantized_pool_impls_agree)."""
     _flash_decode_step(
         seq_ref, tbl_ref, q_ref,
-        k_ref[0, 0].astype(jnp.float32) * ks_ref[0, 0],
-        v_ref[0, 0].astype(jnp.float32) * vs_ref[0, 0],
+        k_ref[0, 0].astype(jnp.float32) * (ks_ref[0, 0] * _INV_MAX_INT8),
+        v_ref[0, 0].astype(jnp.float32) * (vs_ref[0, 0] * _INV_MAX_INT8),
         o_ref, m_ref, l_ref, acc_ref, ps=ps, scale=scale)
 
 
@@ -379,10 +388,11 @@ def _flash_contig_kernel(seq_ref, q_ref, k_ref, v_ref, o_ref,
 def _flash_contig_kernel_q(seq_ref, q_ref, k_ref, ks_ref, v_ref, vs_ref,
                            o_ref, m_ref, l_ref, acc_ref, *, kb: int,
                            scale: float, h: int):
-    """Quantized contiguous variant: int8 KV + per-token scales."""
+    """Quantized contiguous variant: int8 KV + per-token scales (see
+    _flash_decode_kernel_q for the to_int8-inverse scaling)."""
     _contig_step(seq_ref, q_ref,
-                 k_ref[:].astype(jnp.float32) * ks_ref[:],
-                 v_ref[:].astype(jnp.float32) * vs_ref[:],
+                 k_ref[:].astype(jnp.float32) * (ks_ref[:] * _INV_MAX_INT8),
+                 v_ref[:].astype(jnp.float32) * (vs_ref[:] * _INV_MAX_INT8),
                  o_ref, m_ref, l_ref, acc_ref, kb=kb, scale=scale, h=h)
 
 

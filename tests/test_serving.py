@@ -386,8 +386,12 @@ class TestFlashPagedDecodeQuantized:
         lens = jnp.asarray([7, 25], jnp.int32)
         out = kvc.flash_paged_decode(q, (kq, ks), (vq, vs), lens, table,
                                      interpret=True)
-        kd = kq.astype(jnp.float32) * ks
-        vd = vq.astype(jnp.float32) * vs
+        # the pool writer (write_tokens) stores to_int8 codes with amax
+        # scales, so the dequant reference is code * amax / 127.5 (the
+        # kernel originally used code * amax -- 127.5x off -- and THIS
+        # test pinned that wrong semantic as its reference)
+        kd = kq.astype(jnp.float32) * ks / 127.5
+        vd = vq.astype(jnp.float32) * vs / 127.5
         ref = kvc.flash_paged_decode(q, kd, vd, lens, table, interpret=True)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    atol=1e-5)
@@ -579,6 +583,53 @@ class TestContigLayout:
             np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                        rtol=2e-4, atol=2e-5,
                                        err_msg=impl)
+
+    def test_contig_attention_quantized_pool_impls_agree(self):
+        # int8 pools + per-token scales: the dense slice view (bf16
+        # dequant) and the flash kernel (f32 in-kernel dequant) must
+        # agree to bf16 tolerance on the contiguous layout
+        rng = np.random.RandomState(7)
+        b, h, rep, d, ps = 2, 2, 2, 32, 8
+        max_ctx, ctx_bucket = 128, 64
+        pps = max_ctx // ps
+        P = b * pps
+        kf = rng.standard_normal((h, P, ps, d)).astype(np.float32)
+        vf = rng.standard_normal((h, P, ps, d)).astype(np.float32)
+
+        def quantize(x):
+            # the engine's writer (write_tokens): to_int8 codes + amax
+            from jax.experimental.pallas.ops.tpu.paged_attention import (
+                quantization_utils as qu)
+            amax = np.maximum(np.abs(x).max(-1, keepdims=True), 1e-6)
+            return (qu.to_int8(jnp.asarray(x), jnp.asarray(amax)),
+                    jnp.asarray(amax, jnp.float32))
+
+        k_pages, v_pages = quantize(kf), quantize(vf)
+        table = jnp.asarray(np.arange(P, dtype=np.int32).reshape(b, pps)
+                            [:, :ctx_bucket // ps])
+        seq_lens = jnp.asarray([50, 23], jnp.int32)
+        q = jnp.asarray(rng.standard_normal((b, h * rep, d))
+                        ).astype(jnp.float32)
+        dense = kvc.contig_attention(q, k_pages, v_pages, seq_lens,
+                                     table, impl="dense")
+        flash = kvc.contig_attention(q, k_pages, v_pages, seq_lens,
+                                     table, impl="flash")
+        np.testing.assert_allclose(np.asarray(dense), np.asarray(flash),
+                                   rtol=2e-2, atol=2e-2)
+
+    def test_contig_engine_with_quantized_kv(self, tiny):
+        cfg, params = tiny
+        prompt = np.asarray([3, 1, 4, 1, 5], np.int32)
+        ref = eng.Engine(params, cfg, max_slots=1, max_ctx=64, page_size=8,
+                         kv_layout="contig")
+        ref.submit(prompt, max_new_tokens=4)
+        expect = ref.run()[0].out_tokens
+        e = eng.Engine(params, cfg, max_slots=1, max_ctx=64, page_size=8,
+                       kv_layout="contig", kv_quantize=True)
+        e.submit(prompt, max_new_tokens=4)
+        got = e.run()[0].out_tokens
+        assert len(got) == 4
+        assert got[0] == expect[0]  # int8 KV perturbs logits only slightly
 
     def test_contig_allocator_fixed_ranges(self):
         a = kvc.PageAllocator(4 * 8, 4, 8, contiguous=True)
