@@ -541,6 +541,20 @@ def contig_attention(q: jax.Array, k_pages, v_pages,
         else:
             impl = "dense"
     if impl == "dense":
+        if quantized:
+            # int8 pools: slice codes and scales separately and fold the
+            # per-token scales into the logits/probs (NOT the operands) --
+            # the codes feed the einsums directly (the int8->bf16 convert
+            # fuses into the dot read), nothing materializes, and the
+            # attention traffic HALVES vs bf16 pools instead of growing
+            # 2.5x via a dequantized view
+            return _dense_attend_q8(
+                q,
+                _contig_ctx_view(k_pages[0], b, ctx_bucket),
+                _contig_ctx_view(k_pages[1], b, ctx_bucket),
+                _contig_ctx_view(v_pages[0], b, ctx_bucket),
+                _contig_ctx_view(v_pages[1], b, ctx_bucket),
+                seq_lens)
         kctx = _contig_ctx_view(k_pages, b, ctx_bucket)
         vctx = _contig_ctx_view(v_pages, b, ctx_bucket)
         return _dense_attend(q, kctx, vctx, seq_lens)
@@ -621,10 +635,54 @@ def _dense_paged_attention(q, k_pages, v_pages, seq_lens, table):
     """Gather a dense context view and attend with plain XLA ops (the
     off-TPU reference; also selectable on TPU via ANY4_PAGED_IMPL=dense
     for benchmarking -- at small contexts the materialized gather can beat
-    a page-grid kernel whose per-grid-step overhead dominates)."""
+    a page-grid kernel whose per-grid-step overhead dominates).
+
+    int8 pools gather CODES and SCALES separately and fold the scales
+    into the logits/probs (see :func:`_dense_attend_q8`): the gathered
+    views stay int8 -- half the bf16 traffic -- instead of dequantizing
+    to a float view."""
+    if isinstance(k_pages, tuple):
+        return _dense_attend_q8(
+            q,
+            gather_ctx_hmajor(k_pages[0], table),
+            gather_ctx_hmajor(k_pages[1], table),
+            gather_ctx_hmajor(v_pages[0], table),
+            gather_ctx_hmajor(v_pages[1], table),
+            seq_lens)
     kctx = gather_ctx_hmajor(k_pages, table)        # [h, b, ctx, d]
     vctx = gather_ctx_hmajor(v_pages, table)
     return _dense_attend(q, kctx, vctx, seq_lens)
+
+
+def _dense_attend_q8(q, kc, ks, vc, vs, seq_lens):
+    """:func:`_dense_attend` over int8 code views + per-token scales.
+
+    The dequant ``code * amax / 127.5`` is linear in the code with a
+    per-TOKEN constant, so it commutes with the attention dots: the k
+    scales multiply the [.., rep, ctx] logits after the QK einsum and
+    the v scales fold into the [.., rep, ctx] probs before the PV
+    einsum. The big int8 operands feed the MXU directly (the int8->bf16
+    convert fuses into the dot read; |code| <= 127 is bf16-exact) --
+    attention HBM traffic is half the bf16-pool dense path's instead of
+    2.5x via a materialized dequant view."""
+    b, nq, d = q.shape
+    h = kc.shape[0]
+    rep = nq // h
+    qh = q.reshape(b, h, rep, d).transpose(1, 0, 2, 3)   # [h, b, rep, d]
+    scale = 1.0 / np.sqrt(d)
+    logits = jnp.einsum("hbrd,hbcd->hbrc",
+                        (qh * scale).astype(jnp.bfloat16),
+                        kc.astype(jnp.bfloat16),
+                        preferred_element_type=jnp.float32)
+    logits = logits * (ks[..., 0] * _INV_MAX_INT8)[:, :, None, :]
+    ctx_pos = jnp.arange(kc.shape[2])[None, None, None, :]
+    mask = jnp.where(ctx_pos < seq_lens[None, :, None, None], 0.0, -1e9)
+    probs = jax.nn.softmax(logits + mask, axis=-1)
+    pv = probs * (vs[..., 0] * _INV_MAX_INT8)[:, :, None, :]
+    out = jnp.einsum("hbrc,hbcd->hbrd", pv.astype(jnp.bfloat16),
+                     vc.astype(jnp.bfloat16),
+                     preferred_element_type=jnp.float32)
+    return out.transpose(1, 0, 2, 3).reshape(b, nq, d).astype(q.dtype)
 
 
 def _dense_attend(q, kctx, vctx, seq_lens):

@@ -338,19 +338,25 @@ def main():
     # alternated IN ONE PROCESS (tools/bench_engine_ab.py -- regime-
     # robust; the adjacent-window runs it superseded are kept as
     # bench_engine_1b_{bf16,w4a8_qemb}_r3.json)
-    try:
-        with open("benchmarks/bench_engine_ab_1b_w4a8_r3.json") as f:
-            ab = json.loads(f.readline())
-        out["engine_1b"] = {
-            "bf16_tok_s": ab["bf16_tok_s"],
-            "w4a8_qemb_tok_s": ab["tok_s"],
-            "speedup": ab["speedup"],
-            "rounds": ab.get("rounds"),
-            "config": {k: ab.get(k) for k in
-                       ("slots", "burst", "pipeline", "kv_layout")},
-        }
-    except (OSError, json.JSONDecodeError, KeyError):
-        pass
+    for label, fname in (
+            ("engine_1b", "bench_engine_ab_1b_w4a8_r3.json"),
+            ("engine_1b_ctx2048", "bench_engine_ab_1b_w4a8_ctx2048_r3.json"),
+            ("engine_1b_ctx2048_kvq",
+             "bench_engine_ab_1b_w4a8_kvq_ctx2048_r3.json")):
+        try:
+            with open(f"benchmarks/{fname}") as f:
+                ab = json.loads(f.readline())
+            out[label] = {
+                "bf16_tok_s": ab["bf16_tok_s"],
+                "w4a8_qemb_tok_s": ab["tok_s"],
+                "speedup": ab["speedup"],
+                "rounds": ab.get("rounds"),
+                "config": {k: ab.get(k) for k in
+                           ("slots", "max_ctx", "burst", "pipeline",
+                            "kv_layout", "kv_quantize")},
+            }
+        except (OSError, json.JSONDecodeError, KeyError):
+            pass
     # regime bracket (VERDICT r2 weak #7): a fresh DEVICE-time capture of
     # every format in ONE profiler state, attached alongside the wall
     # minima so the artifact is robust to the pool's DVFS state

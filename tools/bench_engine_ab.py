@@ -42,6 +42,10 @@ def main():
     p.add_argument("--pipeline", action="store_true")
     p.add_argument("--kv-layout", default="contig",
                    choices=["paged", "contig"])
+    p.add_argument("--kv-quantize", action="store_true",
+                   help="int8 KV pages on the QUANTIZED engine (the bf16 "
+                        "baseline stays dense KV): the full-quantized "
+                        "flagship vs the dense stack")
     p.add_argument("--rounds", type=int, default=3,
                    help="alternating timed rounds per config")
     p.add_argument("--out", default=None, help="also write JSON here")
@@ -65,13 +69,13 @@ def main():
     print(f"quantized ({args.fmt}) in {time.time()-t0:.0f}s",
           file=sys.stderr)
 
-    def make_engine(par):
+    def make_engine(par, kvq=False):
         return eng.Engine(par, cfg, max_slots=args.slots,
                           max_ctx=args.max_ctx, page_size=16,
-                          kv_layout=args.kv_layout)
+                          kv_layout=args.kv_layout, kv_quantize=kvq)
 
     engines = {"bf16": make_engine(params),
-               args.fmt: make_engine(qparams)}
+               args.fmt: make_engine(qparams, kvq=args.kv_quantize)}
     rng_seed = np.random.RandomState(0)
     prompts = [rng_seed.randint(0, cfg.vocab_size, size=args.prompt_len)
                .astype(np.int32) for _ in range(args.requests)]
@@ -102,7 +106,8 @@ def main():
            "quantize_embeddings": args.quantize_embeddings,
            "slots": args.slots, "max_ctx": args.max_ctx,
            "burst": args.burst, "pipeline": args.pipeline,
-           "kv_layout": args.kv_layout, "requests": args.requests,
+           "kv_layout": args.kv_layout, "kv_quantize": args.kv_quantize,
+           "requests": args.requests,
            "new_tokens": args.new_tokens,
            "rounds": rounds,
            "bf16_tok_s": best["bf16"], "tok_s": best[args.fmt],
