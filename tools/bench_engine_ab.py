@@ -26,10 +26,28 @@ import numpy as np
 
 from tools.bench_decode import SIZES
 
+# MoE serving shapes (Mixtral-style: 8 routed experts, top-2). "1b-moe"
+# totals ~0.75B params with ~0.3B active per token -- big enough that
+# expert weights dominate HBM traffic, small enough for two engines
+# (bf16 + quantized) in one A/B process.
+MOE_SIZES = {
+    "tiny-moe": dict(vocab_size=2048, hidden_size=512,
+                     intermediate_size=1024, num_hidden_layers=4,
+                     num_attention_heads=8, num_key_value_heads=4,
+                     head_dim=64, num_local_experts=4,
+                     num_experts_per_tok=2, tie_word_embeddings=True),
+    "1b-moe": dict(vocab_size=32768, hidden_size=1024,
+                   intermediate_size=2048, num_hidden_layers=12,
+                   num_attention_heads=16, num_key_value_heads=8,
+                   head_dim=64, num_local_experts=8,
+                   num_experts_per_tok=2, tie_word_embeddings=True),
+}
+
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--size", default="1b", choices=sorted(SIZES))
+    p.add_argument("--size", default="1b",
+                   choices=sorted(SIZES) + sorted(MOE_SIZES))
     p.add_argument("--fmt", default="w4a8")
     p.add_argument("--quantize-embeddings", default=None)
     p.add_argument("--slots", type=int, default=8)
@@ -58,8 +76,13 @@ def main():
     from any4_tpu.quant import api
     from any4_tpu.serving import engine as eng
 
-    cfg = llama.LlamaConfig(**SIZES[args.size])
-    params = llama.init_params(cfg, jax.random.PRNGKey(0))
+    if args.size in MOE_SIZES:
+        from any4_tpu.models import mixtral
+        cfg = mixtral.MixtralConfig(**MOE_SIZES[args.size])
+        params = mixtral.init_params(cfg, jax.random.PRNGKey(0))
+    else:
+        cfg = llama.LlamaConfig(**SIZES[args.size])
+        params = llama.init_params(cfg, jax.random.PRNGKey(0))
     kw = dict(kmeans_iters=4) if args.fmt == "any4" else {}
     if args.quantize_embeddings:
         kw["quantize_embeddings"] = args.quantize_embeddings
