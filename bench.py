@@ -367,6 +367,13 @@ def main():
             out["device_time_speedups_one_state"] = {
                 k: round(dev["bf16"] / v, 2)
                 for k, v in dev.items() if k != "bf16" and v}
+            if dev.get(head):
+                # the wall headline rides the relay's dispatch floor and
+                # the pool's DVFS state; the one-profiler-state device
+                # ratio is the apples-to-apples comparison against the
+                # reference's (device-resident) speedups
+                out["vs_baseline_device"] = round(
+                    dev["bf16"] / dev[head] / REFERENCE_SPEEDUPS[head], 3)
     except Exception as e:  # profiling must never sink the bench artifact
         out["device_bracket_error"] = f"{type(e).__name__}: {str(e)[:120]}"
     print(json.dumps(out))
