@@ -342,7 +342,8 @@ def main():
             ("engine_1b", "bench_engine_ab_1b_w4a8_r3.json"),
             ("engine_1b_ctx2048", "bench_engine_ab_1b_w4a8_ctx2048_r3.json"),
             ("engine_1b_ctx2048_kvq",
-             "bench_engine_ab_1b_w4a8_kvq_ctx2048_r3.json")):
+             "bench_engine_ab_1b_w4a8_kvq_ctx2048_r3.json"),
+            ("engine_1bmoe", "bench_engine_ab_1bmoe_w4a8_r3.json")):
         try:
             with open(f"benchmarks/{fname}") as f:
                 ab = json.loads(f.readline())
