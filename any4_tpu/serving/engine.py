@@ -581,12 +581,13 @@ class Engine:
             return 0
         return self._absorb_burst(*out)
 
-    def _may_speculate(self, n: int) -> bool:
-        """Safe to dispatch the next burst before absorbing the previous
-        one? Requires: greedy sampling (already checked), no pending
+    def _may_speculate(self, n: int, inflight_tokens: int = 0) -> bool:
+        """Safe to dispatch the next burst before absorbing the in-flight
+        ones? Requires: greedy sampling (already checked), no pending
         admissions (an admission would reuse pages/slots the in-flight
-        burst still references), and page capacity for a full extra burst
-        on every active slot."""
+        bursts still reference), and page capacity on every active slot
+        for the ``inflight_tokens`` already speculated plus a full extra
+        burst (the host ``seq_lens`` are stale by ``inflight_tokens``)."""
         if self.pending:
             return False
         if self._host_dirty or self._d_tokens is None:
@@ -594,40 +595,57 @@ class Engine:
             # re-upload host state that predates the in-flight burst
         for i, r in enumerate(self.slots):
             if r is not None and not self.alloc.ensure(
-                    i, int(self.seq_lens[i]) + 2 * n + 1, self.page_size):
+                    i, int(self.seq_lens[i]) + inflight_tokens + n + 1,
+                    self.page_size):
                 return False
         return True
 
     def run(self, max_steps: int = 10000, burst: int = 1,
-            pipeline: bool = False) -> List[Request]:
+            pipeline: bool = False, pipeline_depth: int = 2
+            ) -> List[Request]:
         """Drive until all submitted requests finish.
 
         ``pipeline=True`` (burst > 1, greedy only) dispatches burst k+1
         off the device-resident carry BEFORE fetching burst k's tokens,
         hiding the host fetch round trip behind device compute -- on a
         relay-attached chip the fetch is ~40 ms, comparable to a whole
-        quantized burst. Slots that finish during burst k still decode
-        burst k+1 (their speculative tokens are discarded); admissions
-        force a sync boundary.
+        quantized burst. ``pipeline_depth`` keeps up to that many
+        unabsorbed bursts in flight: with a fetch round trip longer than
+        one burst's device time the depth-2 pipeline (dispatch one ahead
+        -- the original shape) is FETCH-bound (measured: 16-step w4a8
+        bursts run ~17.6 ms device vs ~40 ms fetch), so depth 3-4 hides
+        it completely. Slots that finish mid-flight still decode the
+        speculative bursts (their tokens are discarded at absorb);
+        admissions and page capacity force sync boundaries. Token streams
+        are exactly the sequential engine's at any depth.
         """
         steps = 0
         if pipeline and burst > 1 and self._greedy:
-            inflight = None
-            while (inflight is not None or self.pending
+            inflight: List = []   # oldest first
+            while (inflight or self.pending
                     or any(s is not None for s in self.slots)) \
                     and steps < max_steps:
-                if inflight is None:
-                    inflight = self._dispatch_burst(burst)
-                    steps += 1
-                    if inflight is None:
+                # fill the pipeline up to depth unabsorbed bursts
+                while len(inflight) < max(pipeline_depth, 1) \
+                        and steps < max_steps:
+                    if not inflight:
+                        out = self._dispatch_burst(burst)
+                        steps += 1
+                        if out is None:
+                            break
+                        inflight.append(out)
                         continue
-                nxt = None
-                if self._may_speculate(inflight[1]):
-                    nxt = self._dispatch_burst(burst,
-                                               lookahead=inflight[1])
+                    ahead = sum(n for _, n, _ in inflight)
+                    if not self._may_speculate(inflight[-1][1], ahead):
+                        break
+                    out = self._dispatch_burst(inflight[-1][1],
+                                               lookahead=ahead)
                     steps += 1
-                self._absorb_burst(*inflight)
-                inflight = nxt
+                    if out is None:
+                        break
+                    inflight.append(out)
+                if inflight:
+                    self._absorb_burst(*inflight.pop(0))
             out = self.finished
             self.finished = []
             return out

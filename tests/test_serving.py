@@ -645,8 +645,9 @@ class TestPipelinedBursts:
     """run(pipeline=True) overlaps the token fetch of burst k with the
     dispatch of burst k+1; outputs must equal the sequential engine's."""
 
-    @pytest.mark.parametrize("layout", ["paged", "contig"])
-    def test_pipeline_matches_sequential(self, tiny, layout):
+    @pytest.mark.parametrize("layout,depth", [("paged", 2), ("contig", 2),
+                                              ("contig", 3), ("paged", 4)])
+    def test_pipeline_matches_sequential(self, tiny, layout, depth):
         cfg, params = tiny
         rng = np.random.RandomState(9)
         prompts = [rng.randint(0, cfg.vocab_size, size=n).astype(np.int32)
@@ -659,7 +660,8 @@ class TestPipelinedBursts:
         e1 = eng.Engine(params, cfg, max_slots=2, max_ctx=64, page_size=8,
                         kv_layout=layout)
         uids1 = [e1.submit(p, max_new_tokens=6) for p in prompts]
-        by1 = {r.uid: r for r in e1.run(burst=2, pipeline=True)}
+        by1 = {r.uid: r for r in e1.run(burst=2, pipeline=True,
+                                        pipeline_depth=depth)}
         for u0, u1 in zip(uids0, uids1):
             np.testing.assert_array_equal(
                 np.asarray(by0[u0].out_tokens),

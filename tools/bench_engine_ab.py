@@ -58,6 +58,9 @@ def main():
     p.add_argument("--group-size", type=int, default=128)
     p.add_argument("--burst", type=int, default=16)
     p.add_argument("--pipeline", action="store_true")
+    p.add_argument("--pipeline-depth", type=int, default=2,
+                   help="unabsorbed bursts kept in flight (3-4 hides a "
+                        "fetch round trip longer than one burst)")
     p.add_argument("--kv-layout", default="contig",
                    choices=["paged", "contig"])
     p.add_argument("--kv-quantize", action="store_true",
@@ -107,7 +110,8 @@ def main():
         for pr in prompts:
             e.submit(pr, max_new_tokens=args.new_tokens)
         t0 = time.time()
-        done = e.run(burst=args.burst, pipeline=args.pipeline)
+        done = e.run(burst=args.burst, pipeline=args.pipeline,
+                     pipeline_depth=args.pipeline_depth)
         dt = time.time() - t0
         return sum(len(r.out_tokens) for r in done), dt
 
@@ -130,6 +134,7 @@ def main():
            "slots": args.slots, "max_ctx": args.max_ctx,
            "burst": args.burst, "pipeline": args.pipeline,
            "kv_layout": args.kv_layout, "kv_quantize": args.kv_quantize,
+           "pipeline_depth": args.pipeline_depth,
            "requests": args.requests,
            "new_tokens": args.new_tokens,
            "rounds": rounds,

@@ -31,6 +31,8 @@ def main():
     p.add_argument("--bursts", type=int, default=4)
     p.add_argument("--top", type=int, default=20)
     p.add_argument("--quantize-embeddings", default=None)
+    p.add_argument("--kv-layout", default="paged",
+                   choices=["paged", "contig"])
     args = p.parse_args()
 
     from any4_tpu.models import llama
@@ -44,7 +46,7 @@ def main():
             params, fmt=args.fmt,
             quantize_embeddings=args.quantize_embeddings)
     e = eng.Engine(params, cfg, max_slots=args.slots, max_ctx=args.ctx,
-                   page_size=16)
+                   page_size=16, kv_layout=args.kv_layout)
     rng = np.random.RandomState(0)
     for _ in range(args.slots):
         e.submit(rng.randint(0, cfg.vocab_size, args.prompt_len)
