@@ -39,7 +39,25 @@ class LlamaConfig:
     rope_theta: float = 10000.0
     tie_word_embeddings: bool = False
     attention_bias: bool = False
+    # --- Gemma-family extensions (beyond the reference's model zoo) ---
+    hidden_act: str = "silu"          # "silu" | "gelu_pytorch_tanh"
+    rms_norm_offset: float = 0.0      # gemma: y = norm(x) * (offset + w)
+    embed_scale: Optional[float] = None   # gemma: sqrt(hidden_size)
+    query_pre_attn_scalar: Optional[float] = None  # gemma2 logit scale
+    attn_logit_softcapping: Optional[float] = None   # gemma2
+    final_logit_softcapping: Optional[float] = None  # gemma2
+    sliding_window: Optional[int] = None             # gemma2 local layers
+    layer_types: Optional[Tuple[str, ...]] = None    # per-layer attn kind
+    sandwich_norms: bool = False      # gemma2 post-attn/pre+post-ffw norms
     dtype: Any = jnp.bfloat16
+
+    def is_sliding(self, i: int) -> bool:
+        """Does decoder layer ``i`` use sliding-window attention?"""
+        if self.sliding_window is None:
+            return False
+        if self.layer_types is not None:
+            return self.layer_types[i] == "sliding_attention"
+        return i % 2 == 0  # gemma2 default: even layers are local
 
     @property
     def head_dim_(self) -> int:
@@ -91,10 +109,17 @@ def init_params(cfg: LlamaConfig, key: jax.Array) -> Dict:
         "norm": jnp.ones((d,), cfg.dtype),
         "layers": [],
     }
+    # gemma stores norm weights as (w - offset); init at offset-neutral 1.0
+    norm_w = (1.0 - cfg.rms_norm_offset) * jnp.ones((d,), cfg.dtype)
+    params["norm"] = norm_w
     for _ in range(cfg.num_hidden_layers):
+        extra = ({"pre_feedforward_layernorm": norm_w,
+                  "post_feedforward_layernorm": norm_w}
+                 if cfg.sandwich_norms else {})
         params["layers"].append({
-            "input_layernorm": jnp.ones((d,), cfg.dtype),
-            "post_attention_layernorm": jnp.ones((d,), cfg.dtype),
+            **extra,
+            "input_layernorm": norm_w,
+            "post_attention_layernorm": norm_w,
             "q_proj": dense(next(keys), nq * hd, d),
             "k_proj": dense(next(keys), nkv * hd, d),
             "v_proj": dense(next(keys), nkv * hd, d),
@@ -108,11 +133,14 @@ def init_params(cfg: LlamaConfig, key: jax.Array) -> Dict:
     return params
 
 
-def rms_norm(x: jax.Array, w: jax.Array, eps: float) -> jax.Array:
+def rms_norm(x: jax.Array, w: jax.Array, eps: float,
+             offset: float = 0.0) -> jax.Array:
+    """RMSNorm; ``offset`` supports gemma's ``(1 + w)`` convention (the HF
+    checkpoint stores ``w - 1`` and the forward adds the 1 back, in f32)."""
     dt = x.dtype
     x = x.astype(jnp.float32)
     x = x * jax.lax.rsqrt(jnp.mean(x * x, axis=-1, keepdims=True) + eps)
-    return (x * w.astype(jnp.float32)).astype(dt)
+    return (x * (offset + w.astype(jnp.float32))).astype(dt)
 
 
 def rope_tables(cfg: LlamaConfig, positions: jax.Array):
@@ -195,9 +223,15 @@ def attention(layer: Dict, cfg: LlamaConfig, x: jax.Array,
     kx = jnp.repeat(k_all, rep, axis=2)
     vx = jnp.repeat(v_all, rep, axis=2)
 
-    scale = 1.0 / jnp.sqrt(hd).astype(jnp.float32)
+    if cfg.query_pre_attn_scalar is not None:  # gemma2
+        scale = cfg.query_pre_attn_scalar ** -0.5
+    else:
+        scale = 1.0 / jnp.sqrt(hd).astype(jnp.float32)
     logits = jnp.einsum("bthd,bshd->bhts", q.astype(jnp.float32),
                         kx.astype(jnp.float32)) * scale
+    if cfg.attn_logit_softcapping is not None:  # gemma2, before the mask
+        cap = cfg.attn_logit_softcapping
+        logits = cap * jnp.tanh(logits / cap)
     if mask is not None:
         logits = logits + mask  # mask: [b, 1|h, t, s] additive
     probs = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
@@ -211,9 +245,18 @@ def attention(layer: Dict, cfg: LlamaConfig, x: jax.Array,
     return out, new_cache
 
 
+def _act(h: jax.Array, act: str) -> jax.Array:
+    if act == "silu":
+        return jax.nn.silu(h)
+    if act in ("gelu_pytorch_tanh", "gelu"):  # gemma
+        return jax.nn.gelu(h, approximate=True)
+    raise ValueError(f"unsupported hidden_act {act!r}")
+
+
 def mlp(layer: Dict, x: jax.Array,
         capture: Optional[dict] = None, prefix: str = "",
-        psum_axis: Optional[str] = None, **kw) -> jax.Array:
+        psum_axis: Optional[str] = None, act: str = "silu",
+        **kw) -> jax.Array:
     if capture is not None:
         _capture(capture, f"{prefix}gate_proj", x)
         _capture(capture, f"{prefix}up_proj", x)
@@ -224,7 +267,7 @@ def mlp(layer: Dict, x: jax.Array,
     else:
         g = _linearize(x, layer["gate_proj"], **kw)
         u = _linearize(x, layer["up_proj"], **kw)
-    h = jax.nn.silu(g.astype(jnp.float32)).astype(x.dtype) * u
+    h = _act(g.astype(jnp.float32), act).astype(x.dtype) * u
     if capture is not None:
         _capture(capture, f"{prefix}down_proj", h)
     out = _linearize(h, layer["down_proj"], **kw)
@@ -251,27 +294,53 @@ def forward(params: Dict, cfg: LlamaConfig, input_ids: jax.Array,
         positions = jnp.broadcast_to(jnp.arange(t)[None, :], (b, t))
     cos, sin = rope_tables(cfg, positions)
     x = lin.embed(params["embed_tokens"], input_ids, cfg.dtype)
+    if cfg.embed_scale is not None:  # gemma scales embeddings, in dtype
+        x = x * jnp.asarray(cfg.embed_scale, x.dtype)
 
     if mask is None and kv_caches is None and t > 1:
         mask = jnp.where(
             jnp.tril(jnp.ones((t, t), jnp.bool_)), 0.0, -1e9
         )[None, None].astype(jnp.float32)
 
+    sl_mask = None
+    if cfg.sliding_window is not None:
+        # extra additive term for sliding layers: key allowed iff
+        # q_pos - k_pos < window (HF sliding_window_overlay convention);
+        # key positions are absolute slot indices in the linear KV cache
+        s = kv_caches[0][0].shape[1] if kv_caches is not None else t
+        dist = (positions[:, :, None]
+                - jnp.arange(s)[None, None, :])          # [b, t, s]
+        extra = jnp.where(dist < cfg.sliding_window, 0.0,
+                          -1e9)[:, None].astype(jnp.float32)
+        sl_mask = extra if mask is None else mask + extra
+
+    eps, off = cfg.rms_norm_eps, cfg.rms_norm_offset
     new_caches = []
     for i, layer in enumerate(params["layers"]):
-        h = rms_norm(x, layer["input_layernorm"], cfg.rms_norm_eps)
+        h = rms_norm(x, layer["input_layernorm"], eps, off)
         attn_out, nc = attention(
             layer, cfg, h, cos, sin,
             None if kv_caches is None else kv_caches[i],
-            cache_pos, mask, capture=capture, prefix=f"layers.{i}.",
+            cache_pos, sl_mask if cfg.is_sliding(i) else mask,
+            capture=capture, prefix=f"layers.{i}.",
             psum_axis=psum_axis, **kw)
-        x = x + attn_out
-        h = rms_norm(x, layer["post_attention_layernorm"], cfg.rms_norm_eps)
-        x = x + mlp(layer, h, capture=capture, prefix=f"layers.{i}.",
-                    psum_axis=psum_axis, **kw)
+        if cfg.sandwich_norms:  # gemma2: norm the attn output, then add
+            attn_out = rms_norm(attn_out,
+                                layer["post_attention_layernorm"], eps, off)
+            x = x + attn_out
+            h = rms_norm(x, layer["pre_feedforward_layernorm"], eps, off)
+            m = mlp(layer, h, capture=capture, prefix=f"layers.{i}.",
+                    psum_axis=psum_axis, act=cfg.hidden_act, **kw)
+            x = x + rms_norm(m, layer["post_feedforward_layernorm"],
+                             eps, off)
+        else:
+            x = x + attn_out
+            h = rms_norm(x, layer["post_attention_layernorm"], eps, off)
+            x = x + mlp(layer, h, capture=capture, prefix=f"layers.{i}.",
+                        psum_axis=psum_axis, act=cfg.hidden_act, **kw)
         new_caches.append(nc)
 
-    x = rms_norm(x, params["norm"], cfg.rms_norm_eps)
+    x = rms_norm(x, params["norm"], eps, off)
     if "lm_head" in params:
         logits = lin.linear(x, params["lm_head"], **kw)
     elif isinstance(params["embed_tokens"], lin.QuantizedTensor):
@@ -280,6 +349,10 @@ def forward(params: Dict, cfg: LlamaConfig, input_ids: jax.Array,
         logits = lin.linear(x, params["embed_tokens"], **kw)
     else:  # tied embeddings
         logits = x @ params["embed_tokens"].T.astype(x.dtype)
+    if cfg.final_logit_softcapping is not None:  # gemma2
+        cap = cfg.final_logit_softcapping
+        logits = (cap * jnp.tanh(logits.astype(jnp.float32) / cap)
+                  ).astype(logits.dtype)
     return logits, (new_caches if kv_caches is not None else None)
 
 

@@ -18,6 +18,27 @@ from . import llama
 
 
 def _cfg_from_hf(config: dict) -> "llama.LlamaConfig":
+    mt = config.get("model_type", "llama")
+    gemma: dict = {}
+    if mt in ("gemma", "gemma2"):
+        # gemma family: (1+w) norms, tanh-gelu MLP, sqrt(d)-scaled embeds
+        layer_types = config.get("layer_types")
+        gemma = dict(
+            hidden_act=config.get("hidden_activation",
+                                  "gelu_pytorch_tanh"),
+            rms_norm_offset=1.0,
+            embed_scale=float(config["hidden_size"]) ** 0.5,
+        )
+        if mt == "gemma2":
+            gemma.update(
+                query_pre_attn_scalar=config.get("query_pre_attn_scalar"),
+                attn_logit_softcapping=config.get("attn_logit_softcapping"),
+                final_logit_softcapping=config.get(
+                    "final_logit_softcapping"),
+                sliding_window=config.get("sliding_window"),
+                layer_types=(tuple(layer_types) if layer_types else None),
+                sandwich_norms=True,
+            )
     return llama.LlamaConfig(
         vocab_size=config["vocab_size"],
         hidden_size=config["hidden_size"],
@@ -30,8 +51,10 @@ def _cfg_from_hf(config: dict) -> "llama.LlamaConfig":
         max_position_embeddings=config.get("max_position_embeddings", 4096),
         rms_norm_eps=config.get("rms_norm_eps", 1e-5),
         rope_theta=config.get("rope_theta", 10000.0),
-        tie_word_embeddings=config.get("tie_word_embeddings", False),
+        tie_word_embeddings=config.get("tie_word_embeddings", mt == "gemma"
+                                       or mt == "gemma2"),
         attention_bias=config.get("attention_bias", False),
+        **gemma,
     )
 
 
@@ -130,6 +153,10 @@ def load_llama(model_dir: str, dtype=jnp.bfloat16, as_numpy: bool = False
             bname = p + f"self_attn.{biased}_proj.bias"
             if bname in names:  # Qwen2-style attention biases
                 layer[f"{biased}_bias"] = arr(bname)
+        for nrm in ("pre_feedforward_layernorm",
+                    "post_feedforward_layernorm"):  # gemma2 sandwich norms
+            if p + nrm + ".weight" in names:
+                layer[nrm] = arr(p + nrm + ".weight")
         params["layers"].append(layer)
     if not cfg.tie_word_embeddings and "lm_head.weight" in names:
         params["lm_head"] = arr("lm_head.weight")
@@ -259,6 +286,10 @@ def convert_torch_llama(model, dtype=jnp.bfloat16):
             bname = p + f"self_attn.{biased}_proj.bias"
             if bname in sd:
                 layer[f"{biased}_bias"] = arr(bname)
+        for nrm in ("pre_feedforward_layernorm",
+                    "post_feedforward_layernorm"):  # gemma2 sandwich norms
+            if p + nrm + ".weight" in sd:
+                layer[nrm] = arr(p + nrm + ".weight")
         params["layers"].append(layer)
     if "lm_head.weight" in sd and not cfg.tie_word_embeddings:
         params["lm_head"] = arr("lm_head.weight")

@@ -58,7 +58,8 @@ def _ffn(layer, cfg, h, psum_axis=None):
     if "experts" in layer:
         from ..models import mixtral
         return mixtral.moe_ffn(layer, cfg, h, psum_axis=psum_axis)
-    return llama.mlp(layer, h, psum_axis=psum_axis)
+    return llama.mlp(layer, h, psum_axis=psum_axis,
+                     act=getattr(cfg, "hidden_act", "silu"))
 
 
 def _prefill_impl(params, cfg, prompt, true_len, k_pages, v_pages,
