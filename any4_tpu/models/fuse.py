@@ -23,19 +23,27 @@ from ..ops.linear import QuantizedTensor
 
 def concat_quantized(parts: List[QuantizedTensor]) -> QuantizedTensor:
     """Concatenate quantized weights along the output (n) dimension."""
+    from ..ops.linear import TRANSPOSED_FMTS
     first = parts[0]
     for p in parts[1:]:
         assert p.fmt == first.fmt and p.group_size == first.group_size, \
             "fused projections must share quantization format/group"
         assert p.shape[1] == first.shape[1], "fused projections must share k"
         assert p.row_shards == first.row_shards
-    packed = jnp.concatenate([p.packed for p in parts], axis=0)
+    transposed = first.fmt in TRANSPOSED_FMTS
+    # transposed packings carry output rows on AXIS 1 of packed/lut
+    packed = jnp.concatenate([p.packed for p in parts],
+                             axis=1 if transposed else 0)
     scales = jnp.concatenate([p.scales for p in parts], axis=1)
     zeros = jnp.concatenate([p.zeros for p in parts], axis=1)
+    row_lut = first.lut is not None and (
+        first.lut.shape[1] == first.shape[0] if transposed
+        else first.lut.shape[0] == first.shape[0])
     if first.lut is None:
         lut = None
-    elif first.lut.shape[0] == first.shape[0]:  # per-row LUTs
-        lut = jnp.concatenate([p.lut for p in parts], axis=0)
+    elif row_lut:  # per-row LUTs
+        lut = jnp.concatenate([p.lut for p in parts],
+                              axis=1 if transposed else 0)
     else:  # shared global table
         lut = first.lut
     n_total = sum(p.shape[0] for p in parts)

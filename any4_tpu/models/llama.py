@@ -106,7 +106,6 @@ def init_params(cfg: LlamaConfig, key: jax.Array) -> Dict:
         "embed_tokens": jax.random.normal(
             next(keys), (cfg.vocab_size, d), jnp.float32
         ).astype(cfg.dtype) * 0.02,
-        "norm": jnp.ones((d,), cfg.dtype),
         "layers": [],
     }
     # gemma stores norm weights as (w - offset); init at offset-neutral 1.0

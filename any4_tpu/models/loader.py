@@ -24,6 +24,10 @@ def _cfg_from_hf(config: dict) -> "llama.LlamaConfig":
         # gemma family: (1+w) norms, tanh-gelu MLP, sqrt(d)-scaled embeds
         layer_types = config.get("layer_types")
         gemma = dict(
+            # HF forces tanh-gelu for gemma even when old configs say
+            # hidden_act='gelu' (the checkpoints were trained with the
+            # tanh approximation); only the corrected 'hidden_activation'
+            # key is honored, mirroring transformers' behavior
             hidden_act=config.get("hidden_activation",
                                   "gelu_pytorch_tanh"),
             rms_norm_offset=1.0,

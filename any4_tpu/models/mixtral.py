@@ -8,10 +8,11 @@ quant.api.DEFAULT_LINEAR_KEYS), so ``quantize_model`` quantizes every
 expert independently -- matching the reference, which quantizes each expert
 nn.Linear it finds.
 
-Routing is computed exactly (softmax over top-k logits, HF semantics); the
-expert application below evaluates every expert on every token and combines
-by routing weight. That is compute-dense but correct and XLA-friendly
-(static shapes); a gather-based sparse dispatch is a later optimization.
+Routing is computed exactly (softmax over top-k logits, HF semantics).
+Expert application has two modes: dense (every expert scores every token,
+static shapes, used at prefill / under vmap) and sparse decode dispatch
+(``lax.cond`` skips experts with no routed tokens, so device time scales
+with top_k rather than num_experts -- see ``moe_ffn``).
 """
 from __future__ import annotations
 

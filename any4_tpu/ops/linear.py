@@ -107,14 +107,28 @@ def quantize_tensor(w: jax.Array, fmt: str = "any4", group_size: int = 128,
     (sample_weight, init, keep_outliers, ...). ``row_shards`` packs the k
     axis as that many independently-padded contiguous shards (for
     row-parallel TP; see packing.pack_int4).
+
+    The per-element-LUT formats (any4/nf4/fp4) DEFAULT to the transposed
+    sublane-gather packing whenever the group size is plane-constant
+    (multiple of 128) -- identical numbers, ~2.2x faster decode kernel
+    (benchmarks/lab_any4_r3.json; the reference's in-register ``__shfl``
+    LUT is likewise its default any4 path, Dequantization.cuh:93-131).
+    ``layout="row"`` forces the row-major planar packing (needed for row
+    gathers, e.g. quantized embedding tables).
     """
     from ..quant import anyq  # local import to avoid cycle
     import numpy as _np
 
+    layout = kwargs.pop("layout", None)
+    assert layout in (None, "row", "transposed"), \
+        f"layout must be None/'row'/'transposed', got {layout!r}"
     n, k = w.shape
     if group_size <= 0 or group_size > k:
         # whole-row grouping when the layer is narrower than the group
         group_size = k
+    if fmt in ("any4", "nf4", "fp4") and layout != "row" \
+            and group_size % 128 == 0:
+        fmt = fmt + "t"     # default to the fast transposed layout
     host_input = isinstance(w, _np.ndarray)
     int_zeros = bool(kwargs.pop("int_zeros", False))
     assert not int_zeros or fmt in ("int4", "int4p", "int8", "int8p",

@@ -76,7 +76,9 @@ def round_mantissa(a: jax.Array, bits: int, round: str = "nearest",
         out = jnp.sign(a) * jnp.floor(jnp.abs(a) + 0.5)
     elif round == "even":
         absa = jnp.abs(a)
-        # ties at x.5 with even floor round DOWN: detect 0.5, 2.5, 4.5...
+        # round-half-to-even: a tie whose truncation is already even must
+        # round toward zero; those are exactly the values where |a| - 0.5
+        # is an even integer, so subtract the +0.5 rounding for them
         mask = ((absa - 0.5) % 2 == 0).astype(a.dtype)
         out = jnp.sign(a) * (jnp.floor(absa + 0.5) - mask)
     else:

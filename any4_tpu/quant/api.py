@@ -185,7 +185,10 @@ def quantize_model(
                 ekw = {k: v for k, v in kwargs.items()
                        if k in ("kmeans_iters", "init", "keep_outliers",
                                 "per_row", "row_chunk")}
-            qt = lin.quantize_tensor(leaf, efmt, group_size, **ekw)
+            # embedding tables need the row-gatherable (row-major) packing;
+            # the LUT formats otherwise default to the transposed layout
+            qt = lin.quantize_tensor(leaf, efmt, group_size, layout="row",
+                                     **ekw)
             if progress:
                 print(f"  quantized {name} {leaf.shape} -> {efmt}")
             setter(lin.dequantize_tensor(qt, dtype=leaf.dtype)
@@ -224,9 +227,11 @@ quant_methods = {
     "w4a8": functools.partial(quantize_model, fmt="w4a8"),
     "w8a8": functools.partial(quantize_model, fmt="w8a8"),
     "intq": functools.partial(quantize_model, fmt="intq"),
+    # any4 defaults to the transposed sublane-gather packing whenever
+    # group_size % 128 == 0 (identical numbers, ~2.2x faster decode
+    # kernel; see ops/pallas/gemv._q4t_kernel); "any4t" remains as an
+    # explicit alias for the same thing
     "any4": functools.partial(quantize_model, fmt="any4"),
-    # any4 in the transposed sublane-gather packing (identical numbers,
-    # ~2.3x faster decode kernel; see ops/pallas/gemv._q4t_kernel)
     "any4t": functools.partial(quantize_model, fmt="any4t"),
     "anyq": functools.partial(quantize_model, fmt="anyq"),
     "nf4": functools.partial(quantize_model, fmt="nf4"),

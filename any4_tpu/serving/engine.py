@@ -116,6 +116,8 @@ def _decode_impl(params, cfg, tokens, seq_lens, tables, k_pages, v_pages,
     positions = seq_lens[:, None]                   # [b, 1]
     cos, sin = llama.rope_tables(cfg, positions)
     x = lin.embed(params["embed_tokens"], tokens[:, None], cfg.dtype)
+    if cfg.embed_scale is not None:  # gemma scales embeddings, in dtype
+        x = x * jnp.asarray(cfg.embed_scale, x.dtype)
 
     # per-slot write target for the new token. The page index is CLAMPED
     # to the bucketed table width: an inactive slot can carry a stale
@@ -132,8 +134,13 @@ def _decode_impl(params, cfg, tokens, seq_lens, tables, k_pages, v_pages,
     nq, nkv = cfg.num_attention_heads, cfg.num_key_value_heads
 
     new_k, new_v = list(k_pages), list(v_pages)
+    eps, off = cfg.rms_norm_eps, cfg.rms_norm_offset
+    # gemma2 attention options, threaded into the (dense-path) attention
+    attn_scale = (cfg.query_pre_attn_scalar ** -0.5
+                  if cfg.query_pre_attn_scalar is not None else None)
+    softcap = cfg.attn_logit_softcapping
     for li, layer in enumerate(params["layers"]):
-        h = llama.rms_norm(x, layer["input_layernorm"], cfg.rms_norm_eps)
+        h = llama.rms_norm(x, layer["input_layernorm"], eps, off)
         if "qkv_proj" in layer:  # fused projections (models/fuse.py)
             qkv = lin.linear(h, layer["qkv_proj"], layer.get("qkv_bias"))
             q = qkv[..., :nq * hd]
@@ -154,17 +161,30 @@ def _decode_impl(params, cfg, tokens, seq_lens, tables, k_pages, v_pages,
         # just written at position seq_len, so the visible length is +1)
         attn = (kvc.contig_attention if kv_layout == "contig"
                 else kvc.paged_attention)
-        out = attn(q[:, 0], new_k[li], new_v[li], seq_lens + 1, tables)
+        out = attn(q[:, 0], new_k[li], new_v[li], seq_lens + 1, tables,
+                   scale=attn_scale, softcap=softcap,
+                   window=(cfg.sliding_window if cfg.is_sliding(li)
+                           else None))
         out = out.astype(x.dtype).reshape(b, 1, nq * hd)
         out = lin.linear(out, layer["o_proj"], layer.get("o_bias"))
         if psum_axis is not None:
             out = jax.lax.psum(out, psum_axis)
-        x = x + out
-        h = llama.rms_norm(x, layer["post_attention_layernorm"],
-                           cfg.rms_norm_eps)
-        x = x + _ffn(layer, cfg, h, psum_axis=psum_axis)
+        if cfg.sandwich_norms:  # gemma2: norm attn/ffn outputs, then add
+            out = llama.rms_norm(out, layer["post_attention_layernorm"],
+                                 eps, off)
+            x = x + out
+            h = llama.rms_norm(x, layer["pre_feedforward_layernorm"],
+                               eps, off)
+            m = _ffn(layer, cfg, h, psum_axis=psum_axis)
+            x = x + llama.rms_norm(m, layer["post_feedforward_layernorm"],
+                                   eps, off)
+        else:
+            x = x + out
+            h = llama.rms_norm(x, layer["post_attention_layernorm"],
+                               eps, off)
+            x = x + _ffn(layer, cfg, h, psum_axis=psum_axis)
 
-    x = llama.rms_norm(x, params["norm"], cfg.rms_norm_eps)
+    x = llama.rms_norm(x, params["norm"], eps, off)
     if "lm_head" in params:
         logits = lin.linear(x, params["lm_head"])
     elif isinstance(params["embed_tokens"], lin.QuantizedTensor):
@@ -173,6 +193,10 @@ def _decode_impl(params, cfg, tokens, seq_lens, tables, k_pages, v_pages,
         logits = lin.linear(x, params["embed_tokens"])
     else:
         logits = x @ params["embed_tokens"].T.astype(x.dtype)
+    if cfg.final_logit_softcapping is not None:  # gemma2
+        cap = cfg.final_logit_softcapping
+        logits = (cap * jnp.tanh(logits.astype(jnp.float32) / cap)
+                  ).astype(logits.dtype)
     return logits[:, -1, :], new_k, new_v
 
 

@@ -505,7 +505,8 @@ def _contig_ctx_view(pages, b: int, ctx_bucket: int):
 
 def contig_attention(q: jax.Array, k_pages, v_pages,
                      seq_lens: jax.Array, table: jax.Array,
-                     impl: str = "") -> jax.Array:
+                     impl: str = "", scale=None, softcap=None,
+                     window=None) -> jax.Array:
     """Decode attention over the CONTIGUOUS slot layout
     (PageAllocator(contiguous=True)). ``table`` only conveys the context
     BUCKET width (columns).
@@ -530,6 +531,12 @@ def contig_attention(q: jax.Array, k_pages, v_pages,
     max_ctx = P * ps // b
     on_tpu = jax.default_backend() == "tpu"
     impl = impl or os.environ.get("ANY4_CONTIG_IMPL", "")
+    if scale is not None or softcap is not None or window is not None:
+        # gemma2 attention options (query_pre_attn_scalar / logit softcap /
+        # sliding window) are implemented in the dense paths only; dense is
+        # the measured production path at every context for bf16 pools and
+        # below DENSE_CTX_BYTES for int8 pools
+        impl = "dense"
     if not impl:
         dense_bytes = 2 * b * ctx_bucket * h * d * 2
         if not on_tpu:
@@ -554,10 +561,11 @@ def contig_attention(q: jax.Array, k_pages, v_pages,
                 _contig_ctx_view(k_pages[1], b, ctx_bucket),
                 _contig_ctx_view(v_pages[0], b, ctx_bucket),
                 _contig_ctx_view(v_pages[1], b, ctx_bucket),
-                seq_lens)
+                seq_lens, scale=scale, softcap=softcap, window=window)
         kctx = _contig_ctx_view(k_pages, b, ctx_bucket)
         vctx = _contig_ctx_view(v_pages, b, ctx_bucket)
-        return _dense_attend(q, kctx, vctx, seq_lens)
+        return _dense_attend(q, kctx, vctx, seq_lens, scale=scale,
+                             softcap=softcap, window=window)
     flat = (lambda p: p.reshape(h, P * ps, -1))
     k_pool = ((flat(k_pages[0]), flat(k_pages[1])) if quantized
               else flat(k_pages))
@@ -570,7 +578,8 @@ def contig_attention(q: jax.Array, k_pages, v_pages,
 
 def paged_attention(q: jax.Array, k_pages: jax.Array, v_pages: jax.Array,
                     seq_lens: jax.Array, table: jax.Array,
-                    pages_per_compute_block: int = 4) -> jax.Array:
+                    pages_per_compute_block: int = 4, scale=None,
+                    softcap=None, window=None) -> jax.Array:
     """Paged attention for decode: q [b, nq, d] -> out [b, nq, d].
 
     Dispatch (measured, benchmarks/bench_paged_attn_*.json): below
@@ -594,6 +603,9 @@ def paged_attention(q: jax.Array, k_pages: jax.Array, v_pages: jax.Array,
     h, ctx = kp.shape[0], table.shape[1] * kp.shape[2]
     on_tpu = jax.default_backend() == "tpu"
     impl = os.environ.get("ANY4_PAGED_IMPL", "")  # benchmarking override
+    if scale is not None or softcap is not None or window is not None:
+        impl = "dense"   # gemma2 options live in the dense path (see
+        # contig_attention)
     if not impl:
         if not on_tpu:
             # CPU/test backends: dense, except unquantized pools run the
@@ -628,10 +640,13 @@ def paged_attention(q: jax.Array, k_pages: jax.Array, v_pages: jax.Array,
         # per-token scales in-kernel)
         return flash_paged_decode(q, k_pages, v_pages, seq_lens, table,
                                   interpret=not on_tpu)
-    return _dense_paged_attention(q, k_pages, v_pages, seq_lens, table)
+    return _dense_paged_attention(q, k_pages, v_pages, seq_lens, table,
+                                  scale=scale, softcap=softcap,
+                                  window=window)
 
 
-def _dense_paged_attention(q, k_pages, v_pages, seq_lens, table):
+def _dense_paged_attention(q, k_pages, v_pages, seq_lens, table,
+                           scale=None, softcap=None, window=None):
     """Gather a dense context view and attend with plain XLA ops (the
     off-TPU reference; also selectable on TPU via ANY4_PAGED_IMPL=dense
     for benchmarking -- at small contexts the materialized gather can beat
@@ -648,13 +663,26 @@ def _dense_paged_attention(q, k_pages, v_pages, seq_lens, table):
             gather_ctx_hmajor(k_pages[1], table),
             gather_ctx_hmajor(v_pages[0], table),
             gather_ctx_hmajor(v_pages[1], table),
-            seq_lens)
+            seq_lens, scale=scale, softcap=softcap, window=window)
     kctx = gather_ctx_hmajor(k_pages, table)        # [h, b, ctx, d]
     vctx = gather_ctx_hmajor(v_pages, table)
-    return _dense_attend(q, kctx, vctx, seq_lens)
+    return _dense_attend(q, kctx, vctx, seq_lens, scale=scale,
+                         softcap=softcap, window=window)
 
 
-def _dense_attend_q8(q, kc, ks, vc, vs, seq_lens):
+def _attn_mask(ctx_len: int, seq_lens, window=None):
+    """Additive decode mask [1, b, 1, ctx]: positions < seq_len visible;
+    with ``window`` (gemma2 sliding layers) only the last ``window``
+    positions (query position = seq_len - 1, HF ``q - k < window``)."""
+    ctx_pos = jnp.arange(ctx_len)[None, None, None, :]
+    vis = ctx_pos < seq_lens[None, :, None, None]
+    if window is not None:
+        vis &= ctx_pos > (seq_lens[None, :, None, None] - 1 - window)
+    return jnp.where(vis, 0.0, -1e9)
+
+
+def _dense_attend_q8(q, kc, ks, vc, vs, seq_lens, scale=None, softcap=None,
+                     window=None):
     """:func:`_dense_attend` over int8 code views + per-token scales.
 
     The dequant ``code * amax / 127.5`` is linear in the code with a
@@ -669,14 +697,16 @@ def _dense_attend_q8(q, kc, ks, vc, vs, seq_lens):
     h = kc.shape[0]
     rep = nq // h
     qh = q.reshape(b, h, rep, d).transpose(1, 0, 2, 3)   # [h, b, rep, d]
-    scale = 1.0 / np.sqrt(d)
+    if scale is None:
+        scale = 1.0 / np.sqrt(d)
     logits = jnp.einsum("hbrd,hbcd->hbrc",
                         (qh * scale).astype(jnp.bfloat16),
                         kc.astype(jnp.bfloat16),
                         preferred_element_type=jnp.float32)
     logits = logits * (ks[..., 0] * _INV_MAX_INT8)[:, :, None, :]
-    ctx_pos = jnp.arange(kc.shape[2])[None, None, None, :]
-    mask = jnp.where(ctx_pos < seq_lens[None, :, None, None], 0.0, -1e9)
+    if softcap is not None:  # gemma2 attn_logit_softcapping, pre-mask
+        logits = softcap * jnp.tanh(logits / softcap)
+    mask = _attn_mask(kc.shape[2], seq_lens, window)
     probs = jax.nn.softmax(logits + mask, axis=-1)
     pv = probs * (vs[..., 0] * _INV_MAX_INT8)[:, :, None, :]
     out = jnp.einsum("hbrc,hbcd->hbrd", pv.astype(jnp.bfloat16),
@@ -685,7 +715,8 @@ def _dense_attend_q8(q, kc, ks, vc, vs, seq_lens):
     return out.transpose(1, 0, 2, 3).reshape(b, nq, d).astype(q.dtype)
 
 
-def _dense_attend(q, kctx, vctx, seq_lens):
+def _dense_attend(q, kctx, vctx, seq_lens, scale=None, softcap=None,
+                  window=None):
     """Decode attention over a dense ``[h, b, ctx, d]`` context view.
 
     Grouped-head GQA dots (q heads grouped per kv head) -- no
@@ -699,11 +730,13 @@ def _dense_attend(q, kctx, vctx, seq_lens):
     h = kctx.shape[0]
     rep = nq // h
     qh = q.reshape(b, h, rep, d).transpose(1, 0, 2, 3)   # [h, b, rep, d]
-    scale = 1.0 / np.sqrt(d)
+    if scale is None:
+        scale = 1.0 / np.sqrt(d)
     logits = jnp.einsum("hbrd,hbcd->hbrc", qh * scale, kctx,
                         preferred_element_type=jnp.float32)
-    ctx_pos = jnp.arange(kctx.shape[2])[None, None, None, :]
-    mask = jnp.where(ctx_pos < seq_lens[None, :, None, None], 0.0, -1e9)
+    if softcap is not None:  # gemma2 attn_logit_softcapping, pre-mask
+        logits = softcap * jnp.tanh(logits / softcap)
+    mask = _attn_mask(kctx.shape[2], seq_lens, window)
     probs = jax.nn.softmax(logits + mask, axis=-1)
     out = jnp.einsum("hbrc,hbcd->hbrd", probs.astype(vctx.dtype), vctx,
                      preferred_element_type=jnp.float32)

@@ -203,7 +203,10 @@ class TestAny4LutIsUsed:
         w = jax.random.normal(jax.random.PRNGKey(40), (n, k))
         qt = lin.quantize_tensor(w, "any4", group_size=128, kmeans_iters=10,
                                  per_row=per_row)
-        assert qt.lut.shape[0] == (n if per_row else 1)
+        # any4 defaults to the transposed packing at g%128==0: LUT is
+        # stored [16, n] (per-row) / [16, 1] (global)
+        assert qt.fmt == "any4t"
+        assert qt.lut.shape == ((16, n) if per_row else (16, 1))
         x = jax.random.normal(jax.random.PRNGKey(41), (2, k))
         y = lin.linear(x, qt, interpret=INTERPRET)
         ref = _ref(x, qt)
@@ -637,7 +640,8 @@ class TestTransposedLUT:
     def test_any4t_matches_any4(self, m):
         n, k = 256, 2048
         w = jax.random.normal(jax.random.PRNGKey(92), (n, k)) * 0.05
-        qt = lin.quantize_tensor(w, "any4", group_size=128, kmeans_iters=4)
+        qt = lin.quantize_tensor(w, "any4", group_size=128, kmeans_iters=4,
+                                 layout="row")
         x = jax.random.normal(jax.random.PRNGKey(93), (m, k))
         y_ref = _mm(x, qt)
         pt, lut_t = self._transposed_inputs(qt)
@@ -651,7 +655,7 @@ class TestTransposedLUT:
     def test_lut4t_matches_lut4(self, fmt):
         n, k = 128, 1024
         w = jax.random.normal(jax.random.PRNGKey(94), (n, k)) * 0.05
-        qt = lin.quantize_tensor(w, fmt, group_size=128)
+        qt = lin.quantize_tensor(w, fmt, group_size=128, layout="row")
         x = jax.random.normal(jax.random.PRNGKey(95), (1, k))
         y_ref = _mm(x, qt)
         pt, lut_t = self._transposed_inputs(qt)
@@ -665,7 +669,8 @@ class TestTransposedLUT:
         # n not a lane multiple + k with a partial pack block (TP shard)
         n, k = 200, 1024
         w = jax.random.normal(jax.random.PRNGKey(96), (n, k)) * 0.05
-        qt = lin.quantize_tensor(w, "any4", group_size=128, kmeans_iters=4)
+        qt = lin.quantize_tensor(w, "any4", group_size=128, kmeans_iters=4,
+                                 layout="row")
         x = jax.random.normal(jax.random.PRNGKey(97), (1, k))
         pt, lut_t = self._transposed_inputs(qt)
         y_t = gemv.quantized_matmul(
@@ -682,7 +687,7 @@ class TestTransposedLUT:
         n, k = 128, 2048
         w = jax.random.normal(jax.random.PRNGKey(98), (n, k)) * 0.05
         qa = lin.quantize_tensor(w, "any4", group_size=128, kmeans_iters=4,
-                                 seed=0)
+                                 seed=0, layout="row")
         qb = lin.quantize_tensor(w, "any4t", group_size=128, kmeans_iters=4,
                                  seed=0)
         np.testing.assert_allclose(

@@ -183,6 +183,64 @@ class TestMixtralParity:
         _assert_logits_close(ours, ref)
 
 
+def _hf_gemma2(seed=0, sliding_window=4):
+    cfg = transformers.Gemma2Config(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=4, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, max_position_embeddings=128,
+        sliding_window=sliding_window, query_pre_attn_scalar=16,
+        attn_logit_softcapping=50.0, final_logit_softcapping=30.0,
+        attn_implementation="eager")
+    torch.manual_seed(seed)
+    return transformers.Gemma2ForCausalLM(cfg).eval().float()
+
+
+class TestGemma2Parity:
+    """Pins the gemma2 feature set -- (1+w) norms, sqrt(d) embed scaling,
+    query_pre_attn_scalar, attn/final logit softcapping, sliding-window
+    layers, sandwich norms -- to HF Gemma2ForCausalLM logits."""
+
+    def test_logits_match(self):
+        model = _hf_gemma2(seed=10)
+        cfg, params = loader.convert_torch_llama(model, dtype=jnp.float32)
+        cfg = cfg.__class__(**{**cfg.__dict__, "dtype": jnp.float32})
+        assert cfg.rms_norm_offset == 1.0 and cfg.sandwich_norms
+        assert cfg.attn_logit_softcapping == 50.0
+        assert cfg.sliding_window == 4
+        # long enough that sliding layers actually drop positions
+        ids = np.array([[1, 5, 9, 200, 7, 42, 3, 250, 18, 77]], np.int64)
+        ref = _torch_logits(model, ids)
+        ours, _ = llama.forward(params, cfg, jnp.asarray(ids, jnp.int32))
+        _assert_logits_close(ours, ref, atol=4e-4)
+
+    def test_decode_cache_matches_full_forward(self):
+        """KV-cached decode (sliding + full layers, softcaps) matches the
+        full-sequence forward at every position."""
+        model = _hf_gemma2(seed=11)
+        cfg, params = loader.convert_torch_llama(model, dtype=jnp.float32)
+        cfg = cfg.__class__(**{**cfg.__dict__, "dtype": jnp.float32})
+        ids = np.array([[3, 14, 15, 92, 65, 35, 89, 79]], np.int64)
+        ref = _torch_logits(model, ids)
+        max_len = 8
+        caches = llama.init_kv_caches(cfg, 1, max_len, dtype=jnp.float32)
+        jids = jnp.asarray(ids, jnp.int32)
+        pre = 3
+        mask = jnp.where(
+            (jnp.arange(max_len)[None, :] <= jnp.arange(pre)[:, None]),
+            0.0, -1e9)[None, None].astype(jnp.float32)
+        logits, caches = llama.forward(
+            params, cfg, jids[:, :pre], kv_caches=caches, cache_pos=None,
+            mask=mask)
+        _assert_logits_close(logits[0, -1], ref[0, pre - 1], atol=4e-4)
+        for t in range(pre, ids.shape[1]):
+            positions = jnp.full((1, 1), t, jnp.int32)
+            mask = llama.decode_mask(max_len, jnp.int32(t))
+            logits, caches = llama.forward(
+                params, cfg, jids[:, t:t + 1], positions=positions,
+                kv_caches=caches, cache_pos=jnp.int32(t), mask=mask)
+            _assert_logits_close(logits[0, -1], ref[0, t], atol=4e-4)
+
+
 class TestOPTParity:
     def test_logits_match(self):
         hf_cfg = transformers.OPTConfig(

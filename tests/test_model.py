@@ -288,8 +288,10 @@ class TestQuantizedEmbeddings:
     def test_lookup_matches_dequant_rows(self, tied, efmt):
         cfg, params = tied
         kw = dict(kmeans_iters=4) if efmt == "any4" else {}
+        # embedding tables need the row-gatherable row-major packing
+        # (quant.api passes layout="row" for the same reason)
         qt = lin.quantize_tensor(params["embed_tokens"], efmt,
-                                 group_size=128, **kw)
+                                 group_size=128, layout="row", **kw)
         ids = jax.random.randint(jax.random.PRNGKey(2), (2, 5), 0,
                                  cfg.vocab_size)
         out = lin.embedding_lookup(qt, ids)

@@ -456,6 +456,69 @@ class TestEngineW4A8:
                                       np.asarray(ref[0, 5:]))
 
 
+class TestGemmaEngine:
+    """The engine's hand-rolled _decode_impl must reproduce the gemma2
+    feature set (norm offset, embed scaling, q scaling, attn/final
+    softcapping, sliding-window layers, sandwich norms) that the
+    llama.forward-based prefill already has -- a gemma checkpoint used to
+    prefill correctly then decode with llama math (silently wrong
+    tokens)."""
+
+    def _gemma_cfg(self):
+        return llama.LlamaConfig(
+            vocab_size=256, hidden_size=64, intermediate_size=128,
+            num_hidden_layers=4, num_attention_heads=4,
+            num_key_value_heads=2, head_dim=16,
+            max_position_embeddings=512, tie_word_embeddings=True,
+            hidden_act="gelu_pytorch_tanh", rms_norm_offset=1.0,
+            embed_scale=8.0, query_pre_attn_scalar=16.0,
+            attn_logit_softcapping=50.0, final_logit_softcapping=30.0,
+            sliding_window=8, sandwich_norms=True)
+
+    @pytest.mark.parametrize("kv_layout", ["paged", "contig"])
+    def test_gemma_engine_matches_generate(self, kv_layout):
+        cfg = self._gemma_cfg()
+        params = llama.init_params(cfg, jax.random.PRNGKey(5))
+        rng = np.random.RandomState(3)
+        prompts = [rng.randint(0, cfg.vocab_size, size=n).astype(np.int32)
+                   for n in (5, 11, 7)]
+        # long enough decode that sliding layers drop early positions
+        refs = [np.asarray(generate.generate(
+            params, cfg, jnp.asarray(p[None]),
+            max_new_tokens=12)[0, len(p):]) for p in prompts]
+        e = eng.Engine(params, cfg, max_slots=2, max_ctx=64, page_size=8,
+                       kv_layout=kv_layout)
+        uids = [e.submit(p, max_new_tokens=12) for p in prompts]
+        done = e.run(burst=4)
+        by_uid = {r.uid: r for r in done}
+        for uid, ref in zip(uids, refs):
+            np.testing.assert_array_equal(
+                np.asarray(by_uid[uid].out_tokens), ref)
+
+    def test_gemma_engine_quantized_kv(self):
+        """int8 KV pools take the _dense_attend_q8 path; softcap/window
+        must be applied there too (tokens may differ from bf16 KV, so
+        compare against a teacher-forced bf16-KV engine is too strict --
+        instead check the quantized engine still matches generate when
+        the KV error is below the argmax margin on a tiny model)."""
+        cfg = self._gemma_cfg()
+        params = llama.init_params(cfg, jax.random.PRNGKey(6))
+        rng = np.random.RandomState(4)
+        prompt = rng.randint(0, cfg.vocab_size, size=6).astype(np.int32)
+        ref = np.asarray(generate.generate(
+            params, cfg, jnp.asarray(prompt[None]),
+            max_new_tokens=8)[0, len(prompt):])
+        e = eng.Engine(params, cfg, max_slots=2, max_ctx=64, page_size=8,
+                       kv_quantize=True, kv_layout="contig")
+        e.submit(prompt, max_new_tokens=8)
+        done = e.run(burst=4)
+        got = np.asarray(done[0].out_tokens)
+        # int8 KV introduces quantization error; require the first tokens
+        # to agree (argmax margins shrink as error accumulates)
+        assert got.shape == ref.shape
+        np.testing.assert_array_equal(got[:4], ref[:4])
+
+
 class TestMixtralEngine:
     def test_moe_engine_matches_generate(self):
         """The engine serves MoE models: expert layers are detected in
