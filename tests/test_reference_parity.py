@@ -38,7 +38,13 @@ def ref():
     """Import the reference quantize module with unused deps stubbed."""
     sys.path.insert(0, REF)
     for name in ("bitsandbytes", "tinygemm"):
-        sys.modules.setdefault(name, types.ModuleType(name))
+        if name not in sys.modules:
+            mod = types.ModuleType(name)
+            # transformers probes importlib.util.find_spec("bitsandbytes"),
+            # which raises on a stub whose __spec__ is None
+            import importlib.machinery
+            mod.__spec__ = importlib.machinery.ModuleSpec(name, None)
+            sys.modules[name] = mod
     import quantize as refq  # noqa: PLC0415
     from tinygemm_lib import utils as refutils  # noqa: PLC0415
     import torch  # noqa: PLC0415
@@ -288,3 +294,129 @@ class TestMXParity:
             np.linspace(-6, 6, 1001, dtype=np.float32), 3, 2, 6.0))) / 6.0
         table = np.unique(np.asarray(get_table("fp4"), np.float32))
         assert set(vals.astype(np.float32).tolist()) <= set(table.tolist())
+
+
+class TestModelParity:
+    """Whole-MODEL pipeline parity: one random-init HF Llama pushed through
+    the reference any4 pipeline (quantize.py:1011 ``any4`` -> ``anyq_layer``
+    pseudo path, quantize.py:838-870) and through
+    ``quant.api.quantize_model(pseudo=True)``, then evaluated on the same
+    fixed token stream with each side's own forward. This is the offline
+    stand-in for the reference's golden C4 regression
+    (tests/test_accuracy.py:22, any4 Llama-3.2-1B ppl 13.952826): it
+    covers calibration-free quantization wiring end to end -- layer
+    selection + lm_head skip, group normalization, per-row k-means,
+    reconstruction, and model math -- not just single tensors."""
+
+    @pytest.fixture(scope="class")
+    def quantized_pair(self, ref):
+        transformers = pytest.importorskip("transformers")
+        import copy
+
+        import jax.numpy as jnp
+
+        from any4_tpu.models import loader
+        from any4_tpu.quant import api
+
+        torch = ref.torch
+        hf_cfg = transformers.LlamaConfig(
+            vocab_size=256, hidden_size=128, intermediate_size=256,
+            num_hidden_layers=2, num_attention_heads=4,
+            num_key_value_heads=2, max_position_embeddings=128,
+            tie_word_embeddings=False, attn_implementation="eager")
+        torch.manual_seed(0)
+        model = transformers.LlamaForCausalLM(hf_cfg).eval().float()
+
+        cfg, params = loader.convert_torch_llama(model, dtype=jnp.float32)
+        cfg = cfg.__class__(**{**cfg.__dict__, "dtype": jnp.float32})
+
+        # reference pipeline (pseudo: weight.data <- reconstruction)
+        model_q = copy.deepcopy(model)
+        ref.q.any4(model_q, pseudo=True, parallelize=False)
+
+        # our pipeline (pseudo: leaves <- dense reconstruction)
+        qparams = api.quantize_model(params, fmt="any4", group_size=128,
+                                     pseudo=True, kmeans_iters=50, n_init=3)
+
+        ids = np.random.default_rng(7).integers(
+            0, hf_cfg.vocab_size, (4, 64)).astype(np.int64)
+        return model, model_q, cfg, params, qparams, ids
+
+    @staticmethod
+    def _torch_nll(ref, model, ids):
+        torch = ref.torch
+        with torch.no_grad():
+            logits = model(input_ids=torch.from_numpy(ids)).logits.float()
+        logp = torch.log_softmax(logits[:, :-1], dim=-1)
+        tgt = torch.from_numpy(ids[:, 1:])
+        nll = -logp.gather(-1, tgt[..., None])[..., 0]
+        return float(nll.mean())
+
+    @staticmethod
+    def _jax_nll(params, cfg, ids):
+        import jax.numpy as jnp
+
+        from any4_tpu.models import llama
+        logits, _ = llama.forward(params, cfg,
+                                  jnp.asarray(ids, jnp.int32))
+        logits = np.asarray(logits, np.float32)
+        logp = logits[:, :-1] - _logsumexp(logits[:, :-1])
+        tgt = ids[:, 1:]
+        nll = -np.take_along_axis(logp, tgt[..., None], axis=-1)[..., 0]
+        return float(nll.mean())
+
+    def test_quantized_ppl_within_1pct(self, ref, quantized_pair):
+        model, model_q, cfg, params, qparams, ids = quantized_pair
+        # sanity: the un-quantized forwards agree (HF parity)
+        nll_t0 = self._torch_nll(ref, model, ids)
+        nll_j0 = self._jax_nll(params, cfg, ids)
+        assert abs(nll_t0 - nll_j0) < 1e-3, (nll_t0, nll_j0)
+
+        nll_t = self._torch_nll(ref, model_q, ids)
+        nll_j = self._jax_nll(qparams, cfg, ids)
+        ppl_t, ppl_j = np.exp(nll_t), np.exp(nll_j)
+        # pipeline-level criterion: quantized ppl within 1% relative
+        assert abs(ppl_j - ppl_t) <= 0.01 * ppl_t, (ppl_j, ppl_t)
+        # and the quantization perturbations themselves are comparable
+        d_t, d_j = abs(nll_t - nll_t0), abs(nll_j - nll_j0)
+        assert d_j <= max(d_t * 2.0, 5e-3), (d_j, d_t)
+
+    def test_per_layer_wmse_parity(self, ref, quantized_pair):
+        """Every quantized layer's reconstruction error must be within 5%
+        of the reference pipeline's on the SAME weights (k-means
+        seeds/backends differ -- sklearn vs vectorized Lloyd -- so exact
+        equality is undefined; the 1% tensor-level bound holds in
+        aggregate, 5% guards per-layer outliers)."""
+        model, model_q, cfg, params, qparams, ids = quantized_pair
+        sd0 = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+        sdq = {k: v.detach().numpy()
+               for k, v in model_q.state_dict().items()}
+        name_map = {
+            "q_proj": "self_attn.q_proj", "k_proj": "self_attn.k_proj",
+            "v_proj": "self_attn.v_proj", "o_proj": "self_attn.o_proj",
+            "gate_proj": "mlp.gate_proj", "up_proj": "mlp.up_proj",
+            "down_proj": "mlp.down_proj",
+        }
+        checked = 0
+        for i in range(cfg.num_hidden_layers):
+            for ours, theirs in name_map.items():
+                w0 = sd0[f"model.layers.{i}.{theirs}.weight"]
+                wr = sdq[f"model.layers.{i}.{theirs}.weight"]
+                assert not np.array_equal(w0, wr), \
+                    f"reference did not quantize layers.{i}.{theirs}"
+                wo = np.asarray(qparams["layers"][i][ours], np.float32)
+                mse_ref = _wmse(w0, wr)
+                mse_ours = _wmse(w0, wo)
+                assert mse_ours <= mse_ref * 1.05, \
+                    (i, ours, mse_ours, mse_ref)
+                checked += 1
+        assert checked == cfg.num_hidden_layers * len(name_map)
+        # lm_head skipped on both sides
+        assert np.array_equal(sd0["lm_head.weight"], sdq["lm_head.weight"])
+        assert np.array_equal(np.asarray(qparams["lm_head"]),
+                              sd0["lm_head.weight"])
+
+
+def _logsumexp(x):
+    m = x.max(axis=-1, keepdims=True)
+    return m + np.log(np.exp(x - m).sum(axis=-1, keepdims=True))
