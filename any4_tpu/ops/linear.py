@@ -25,8 +25,11 @@ from .pallas import gemv
 
 # formats whose packed codes are 4-bit planar words
 _NIBBLE_FMTS = ("int4", "any4", "nf4", "fp4", "mx4")
-# transposed (k-on-sublanes) packings: the sublane-gather LUT kernels
-TRANSPOSED_FMTS = ("any4t", "nf4t", "fp4t")
+# transposed (k-on-sublanes) packings: the sublane-gather LUT kernels plus
+# the natural-orientation int8 kernels (packed axis 0 carries k, axis 1 n)
+TRANSPOSED_FMTS = ("any4t", "nf4t", "fp4t", "w8a8t", "int8t", "any4q8")
+# transposed formats whose packed array is int8 [kp, n] (one k per row)
+_T_INT8_FMTS = ("w8a8t", "int8t", "any4q8")
 # m threshold below which the fused GEMV kernel is used. Measured on
 # hardware (tools/tune_m.py, benchmarks/tune_m_{int4p,any4}_4096.json):
 # the kernel's cost is dominated by per-weight-element dequant work, so
@@ -129,10 +132,18 @@ def quantize_tensor(w: jax.Array, fmt: str = "any4", group_size: int = 128,
     if fmt in ("any4", "nf4", "fp4") and layout != "row" \
             and group_size % 128 == 0:
         fmt = fmt + "t"     # default to the fast transposed layout
+    if fmt in ("w8a8", "int8") and layout != "row" \
+            and group_size % 128 == 0:
+        # int8 weights likewise default to the transposed (natural MXU
+        # orientation) layout: the row-major int8 dot implies an int8
+        # operand transpose in transit (62 vs ~30 us/layer at 4096^2;
+        # see packing.pack_int8_transposed). Row-major remains for
+        # embeddings (layout="row") and g < 128.
+        fmt = fmt + "t"
     host_input = isinstance(w, _np.ndarray)
     int_zeros = bool(kwargs.pop("int_zeros", False))
     assert not int_zeros or fmt in ("int4", "int4p", "int8", "int8p",
-                                    "w4a8", "w8a8"), \
+                                    "w4a8", "w8a8", "w8a8t", "int8t"), \
         f"int_zeros (group_q1/new_grouping) applies to int formats, not {fmt!r}"
     if fmt == "int4" and host_input and k % group_size == 0 and not int_zeros:
         # host-side (checkpoint-conversion) fast path: the C++/OpenMP data
@@ -154,7 +165,8 @@ def quantize_tensor(w: jax.Array, fmt: str = "any4", group_size: int = 128,
         w = jnp.asarray(w)
     symmetric = bool(kwargs.pop("scale_only", False))
     assert not symmetric or fmt in ("int4", "int4p", "int8", "int8p",
-                                    "w4a8", "w8a8", "any4", "any4t"), \
+                                    "w4a8", "w8a8", "w8a8t", "int8t",
+                                    "any4", "any4t", "any4q8"), \
         f"scale_only (symmetric) applies to int/any4 formats, not {fmt!r}"
     if fmt == "int4":
         codes, scales, zeros = quant.group_quantize(
@@ -175,12 +187,48 @@ def quantize_tensor(w: jax.Array, fmt: str = "any4", group_size: int = 128,
         lut = None
     elif fmt == "w8a8":
         # centered int8 codes ARE the kernel operand (no unpack); the
-        # int8-MXU kernel computes q-dots with post-dot (s, z) affines
+        # int8-MXU kernel computes q-dots with post-dot (s, z) affines.
+        # (Row-major variant -- reached via layout="row"; the default is
+        # the transposed w8a8t below.)
         assert group_size % 128 == 0, \
             "w8a8 requires group_size a multiple of 128"
         q, scales, zeros = quant.int8_quantize(
             w, group_size, symmetric=symmetric, int_zeros=int_zeros)
         packed = packing.pack_int8(q, row_shards)
+        lut = None
+    elif fmt in ("w8a8t", "int8t"):
+        # transposed (natural MXU orientation) int8: same numbers as
+        # w8a8/int8, codes stored [kp, n] so each 128-wide k group dots
+        # as x [m, 128] @ w [128, bn] with no operand transpose
+        q, scales, zeros = quant.int8_quantize(
+            w, group_size, symmetric=symmetric, int_zeros=int_zeros)
+        packed = packing.pack_int8_transposed(q, row_shards)
+        lut = None
+    elif fmt == "any4q8":
+        # any4 accuracy on the w8a8t kernel: the learned per-row LUT is
+        # snapped to an int8 grid (error <= |lut|_max/254 of the row
+        # scale) and the CODES ARE MATERIALIZED as int8 at pack time --
+        # recon lut[c]*s + z == lut8[c]*(s*sr) + z, so the row scale
+        # folds into the group scales and the runtime is exactly the
+        # transposed int8-MXU path (8 bits/weight instead of 4.25: a
+        # speed/memory tradeoff point between any4t and w4a8 -- VERDICT
+        # r3 next #3's "unexplored any4-q8 design")
+        assert group_size % 128 == 0, \
+            "any4q8 requires group_size a multiple of 128"
+        codes, lut01, scales, zeros = anyq.any4_quantize(
+            w, n_bit=4, group_size=group_size, scale_only=symmetric,
+            **kwargs)
+        lutc = (lut01 - 8.0).astype(jnp.float32)         # [n|1, 16]
+        sr = jnp.maximum(jnp.max(jnp.abs(lutc), axis=1, keepdims=True),
+                         1e-12) / 127.0                  # [n|1, 1]
+        lut8 = jnp.clip(jnp.round(lutc / sr), -127.0,
+                        127.0).astype(jnp.int8)
+        if lut8.shape[0] == 1:                           # global LUT
+            lut8 = jnp.broadcast_to(lut8, (n, 16))
+            sr = jnp.broadcast_to(sr, (n, 1))
+        q8 = jnp.take_along_axis(lut8, codes.astype(jnp.int32), axis=1)
+        packed = packing.pack_int8_transposed(q8, row_shards)
+        scales = scales * sr                             # fold row scale
         lut = None
     elif fmt == "int4p":
         # pair-packed int4 for the magic-number (gather-free) kernel;
@@ -294,7 +342,8 @@ def dequantize_tensor(qt: QuantizedTensor, dtype=None) -> jax.Array:
     if qt.row_shards > 1:
         S = qt.row_shards
         n, k = qt.shape
-        denom = 8 if qt.fmt in _NIBBLE_FMTS or transposed else \
+        denom = 1 if qt.fmt in _T_INT8_FMTS else \
+            8 if qt.fmt in _NIBBLE_FMTS or transposed else \
             4 if qt.fmt == "int4p" else 2 if qt.fmt == "w4a8" else 1
         shard_words = packing.padded_k(k // S) // denom
         if qt.packed.shape[k_axis] == shard_words:
@@ -320,6 +369,7 @@ def dequantize_tensor(qt: QuantizedTensor, dtype=None) -> jax.Array:
     n, k = qt.shape
     dtype = dtype or qt.dtype
     kp = qt.packed.shape[k_axis] * (
+        1 if qt.fmt in _T_INT8_FMTS else
         8 if qt.fmt in _NIBBLE_FMTS or transposed else
         4 if qt.fmt in ("int4p", "int8p") else
         2 if qt.fmt == "w4a8" else 1)
@@ -339,6 +389,8 @@ def dequantize_tensor(qt: QuantizedTensor, dtype=None) -> jax.Array:
         return w[:, :k].astype(dtype)
     if qt.fmt in ("int8", "w8a8"):
         q = qt.packed.astype(jnp.float32)
+    elif qt.fmt in _T_INT8_FMTS:
+        q = qt.packed.T.astype(jnp.float32)       # [n, kp]
     else:
         if qt.fmt == "int4p":
             codes = packing.unpack_int4_pair(qt.packed, kp).astype(jnp.int32)
@@ -437,6 +489,10 @@ def quantize_activations(x: jax.Array, eps: float = gemv.ACT_EPS):
 def _kernel_fmt(fmt: str, lut: Optional[jax.Array] = None) -> str:
     if fmt in ("nf4", "fp4", "mx4"):
         return "lut4"
+    if fmt == "any4q8":
+        # the LUT was materialized into int8 codes at pack time: runtime
+        # IS the transposed int8-MXU path
+        return "w8a8t"
     if fmt == "int8p":
         # split-byte int8 runs on the pair-packed magic kernel with
         # plane-transformed scales (quantize_tensor folds them)
@@ -483,7 +539,7 @@ def linear(x: jax.Array, w, bias: Optional[jax.Array] = None, *,
         m = 1
         for d in x.shape[:-1]:
             m *= d
-        if w.fmt in ("w4a8", "w8a8"):
+        if w.fmt in ("w4a8", "w8a8", "w8a8t", "any4q8"):
             # int8-MXU formats run the fused kernel at EVERY m: decode in
             # one dispatch, prefill chunked over m so the VMEM f32
             # accumulator block stays within budget. Unlike the bf16
@@ -491,14 +547,16 @@ def linear(x: jax.Array, w, bias: Optional[jax.Array] = None, *,
             # codes are the MXU operand directly, and int8 dots run at
             # twice the bf16 MXU rate.
             xa = _shard_align_x(x, w)
-            n_local = w.packed.shape[0] * (4 if w.fmt == "w4a8" else 1)
+            kfmt = _kernel_fmt(w.fmt)
+            n_local = (w.packed.shape[1] if w.fmt in TRANSPOSED_FMTS else
+                       w.packed.shape[0] * (4 if w.fmt == "w4a8" else 1))
             if m <= gemv.FUSED_ACT_M_MAX:
                 # decode: the per-row absmax quantize and the y*sx
                 # post-scale are fused into the kernel itself (float
                 # input selects the fused-act variant) -- one dispatch,
                 # no separate XLA ops (PERF_NOTES round 2d gap analysis)
                 y = gemv.quantized_matmul(
-                    xa, w.packed, w.scales, w.zeros, None, fmt=w.fmt,
+                    xa, w.packed, w.scales, w.zeros, None, fmt=kfmt,
                     group_size=w.group_size, n=n_local, block_n=block_n,
                     out_dtype=x.dtype, interpret=interpret,
                     k_chunk=k_chunk)
@@ -507,7 +565,7 @@ def linear(x: jax.Array, w, bias: Optional[jax.Array] = None, *,
                 mm = functools.partial(
                     gemv.quantized_matmul, packed=w.packed,
                     scales_t=w.scales, zeros_t=w.zeros, lut=None,
-                    fmt=w.fmt, group_size=w.group_size, n=n_local,
+                    fmt=kfmt, group_size=w.group_size, n=n_local,
                     block_n=block_n, out_dtype=jnp.float32,
                     interpret=interpret, k_chunk=k_chunk)
                 if m <= max(fused_m_max, _INT8_M_TILE):

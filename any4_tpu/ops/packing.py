@@ -225,6 +225,92 @@ def pack_int8(q: jax.Array, shards: int = 1) -> jax.Array:
     return pad_axis(q, 1, padded_k(k))
 
 
+def pack_int8_quad(q: jax.Array, shards: int = 1) -> jax.Array:
+    """Quad-packed int8 weights for the int8-MXU kernels: FOUR output rows
+    per int32 word, ``[n/4, k_padded] int32``.
+
+    ``word[rq, c]`` byte ``b`` holds ``q[4*rq + b, c]`` (as uint8 bits), so
+    an in-kernel ``pltpu.bitcast(words, int8)`` splits each word row onto 4
+    sublanes in row order and a whole ``[bn, 128]`` centered-int8 weight
+    tile appears with ZERO vector ops -- the same mechanics that make w4a8
+    fast (pack_int4_quad), applied to full bytes. Plain int8-typed arrays
+    measured 62-65 us/layer at 4096^2 m=1 in either orientation
+    (benchmarks/lab_int8_r4.json: the (32, 128) int8 VMEM tiling makes a
+    poor direct MXU feed) while the int32-word + bitcast path runs the
+    same dot structure at w4a8's 25 us with half the traffic -- this
+    layout is the int8 analog. ``n % 4 == 0`` required.
+    """
+    n, k = q.shape
+    assert n % 4 == 0, f"quad packing needs n % 4 == 0, got {n}"
+    if shards > 1:
+        assert k % shards == 0
+        parts = [pack_int8_quad(
+            q[:, s * (k // shards):(s + 1) * (k // shards)])
+            for s in range(shards)]
+        return jnp.concatenate(parts, axis=1)
+    kp = padded_k(k)
+    u = pad_axis(q, 1, kp).astype(jnp.int32) & 0xFF    # uint8 bit pattern
+    u = u.reshape(n // 4, 4, kp)
+    sh = (8 * jnp.arange(4, dtype=jnp.int32))[None, :, None]
+    words = jnp.sum(u << sh, axis=1, dtype=jnp.int32)  # [n/4, kp]
+    return words
+
+
+def unpack_int8_quad(packed: jax.Array, k: int, shards: int = 1
+                     ) -> jax.Array:
+    """Inverse of :func:`pack_int8_quad`; returns int8 ``[n, k]``."""
+    if shards > 1:
+        nq, kw = packed.shape
+        per = kw // shards
+        parts = [unpack_int8_quad(packed[:, s * per:(s + 1) * per],
+                                  k // shards)
+                 for s in range(shards)]
+        return jnp.concatenate(parts, axis=1)
+    nq, kw = packed.shape
+    sh = (8 * jnp.arange(4, dtype=jnp.int32))[None, :, None]
+    u = (jax.lax.shift_right_logical(
+        packed.reshape(nq, 1, kw), sh)) & 0xFF          # [n/4, 4, kw]
+    q = jnp.where(u >= 128, u - 256, u).astype(jnp.int8)
+    return q.reshape(nq * 4, kw)[:, :k]
+
+
+def pack_int8_transposed(q: jax.Array, shards: int = 1) -> jax.Array:
+    """Transposed int8 layout for the int8-MXU kernels: centered int8
+    codes ``[n, k]`` -> ``[k_padded, n] int8`` (k on sublanes, output rows
+    on lanes).
+
+    The row-major int8 layout feeds ``dot_general`` contracting dim 1 of
+    BOTH operands, which makes the weight the transposed MXU operand --
+    measured 62 us/layer at 4096^2 m=1 against a ~37 us structural floor
+    for the natural ``[k, n]`` orientation (benchmarks/lab_any4_r3.json
+    a8_floor: the int8 operand transpose has no cheap path through the
+    MXU transit). This layout loads ``[128, bn]`` k-major tiles that dot
+    as ``x [m, 128] @ w [128, bn]`` directly. ``shards > 1`` pads each
+    contiguous k-slice independently (row-parallel TP splits on axis 0).
+    """
+    n, k = q.shape
+    if shards > 1:
+        assert k % shards == 0, f"k={k} not divisible by shards={shards}"
+        parts = [pack_int8_transposed(
+            q[:, s * (k // shards):(s + 1) * (k // shards)])
+            for s in range(shards)]
+        return jnp.concatenate(parts, axis=0)
+    return pad_axis(q.T, 0, padded_k(k))
+
+
+def unpack_int8_transposed(packed: jax.Array, k: int, shards: int = 1
+                           ) -> jax.Array:
+    """Inverse of :func:`pack_int8_transposed`; returns int8 ``[n, k]``."""
+    if shards > 1:
+        kw, n = packed.shape
+        per = kw // shards
+        parts = [unpack_int8_transposed(
+            packed[s * per:(s + 1) * per], k // shards)
+            for s in range(shards)]
+        return jnp.concatenate(parts, axis=1)
+    return packed[:k].T
+
+
 def pack_int4_transposed(codes: jax.Array, shards: int = 1) -> jax.Array:
     """Transposed planar packing for the sublane-gather LUT kernels:
     4-bit codes ``[n, k]`` -> int32 words ``[k_padded/8, n]``.

@@ -131,7 +131,7 @@ def quantize_model(
             sw = sw(name)
         if sw is not None:
             kw["sample_weight"] = jnp.asarray(sw)
-        if fmt not in ("any4", "any4t", "anyq"):
+        if fmt not in ("any4", "any4t", "any4q8", "anyq"):
             # sample weights / kmeans options only apply to learned formats
             for k in ("sample_weight", "init", "keep_outliers",
                       "scale_sample_weight", "abs_weight_sample_weight",
@@ -154,7 +154,7 @@ def quantize_model(
             # other formats re-raise rather than retrying identically.
             if ("RESOURCE_EXHAUSTED" not in str(e)
                     and "Out of memory" not in str(e)) \
-                    or f not in ("any4", "any4t"):
+                    or f not in ("any4", "any4t", "any4q8"):
                 raise
             if progress:
                 print(f"  OOM quantizing {name}; retrying with "
@@ -233,6 +233,10 @@ quant_methods = {
     # explicit alias for the same thing
     "any4": functools.partial(quantize_model, fmt="any4"),
     "any4t": functools.partial(quantize_model, fmt="any4t"),
+    # any4 LUT snapped to an int8 grid, codes materialized int8 at pack
+    # time: any4-class accuracy on the transposed int8-MXU kernel (8
+    # bits/weight -- the speed point between any4t and w4a8)
+    "any4q8": functools.partial(quantize_model, fmt="any4q8"),
     "anyq": functools.partial(quantize_model, fmt="anyq"),
     "nf4": functools.partial(quantize_model, fmt="nf4"),
     "nf4t": functools.partial(quantize_model, fmt="nf4t"),

@@ -37,12 +37,17 @@ import jax.numpy as jnp
 import numpy as np
 
 REFERENCE_ANY4_SPEEDUP = 2.29  # A5000, K=4096 (reference README.md:455)
-REFERENCE_SPEEDUPS = {"any4": 2.29, "any4t": 2.29, "int4": 3.26,
-                      "nf4": 2.23, "nf4t": 2.23, "int4p": 3.26,
-                      "int8p": 1.0, "w4a8": 3.26, "w8a8": 1.0}
+REFERENCE_SPEEDUPS = {"any4": 2.29, "any4t": 2.29, "any4q8": 2.29,
+                      "int4": 3.26, "nf4": 2.23, "nf4t": 2.23,
+                      "int4p": 3.26, "int8": 1.0, "int8p": 1.0,
+                      "w4a8": 3.26, "w8a8": 1.0}
 LAYERS = 16  # GEMVs per chain; distinct weight buffers so each streams HBM
-FMTS = ("any4", "any4t", "int4", "int4p", "int8p", "nf4", "nf4t",
-        "w4a8", "w8a8")
+# NOTE: "any4"/"nf4" now default to the transposed sublane-gather packing
+# and "int8"/"w8a8" to the transposed int8 layout (quantize_tensor); the
+# explicit any4t/nf4t entries confirm the identity, int8p keeps the
+# retired split-byte design measurable
+FMTS = ("any4", "any4t", "any4q8", "int4", "int4p", "int8", "int8p",
+        "nf4", "nf4t", "w4a8", "w8a8")
 
 
 def timed_exec(f, args):
@@ -68,21 +73,21 @@ def build_chain(fmt, x, stacks, shape, kernel_fmt, reps):
         def layer(a, st, i):
             (ws,) = st
             return a @ ws[i].T
-    elif fmt in ("w4a8", "w8a8"):
+    elif fmt in ("w4a8", "w8a8", "any4q8"):
         def layer(a, st, i):
             p, s, z, l = st
             if a.shape[0] <= gemv.FUSED_ACT_M_MAX:
                 # float input -> activation quantization fused in-kernel
                 # (one dispatch per layer; PERF_NOTES round 2d)
                 return gemv.quantized_matmul(
-                    a, p[i], s[i], z[i], None, fmt=fmt, group_size=128,
-                    n=N, out_dtype=jnp.bfloat16)
+                    a, p[i], s[i], z[i], None, fmt=kernel_fmt,
+                    group_size=128, n=N, out_dtype=jnp.bfloat16)
             # larger m: external per-row absmax int8 quantize + post-scale
             # (the production dispatch, ops.linear.linear)
             from any4_tpu.ops import linear as lin
             xq, sx = lin.quantize_activations(a)
             y = gemv.quantized_matmul(
-                xq, p[i], s[i], z[i], None, fmt=fmt, group_size=128,
+                xq, p[i], s[i], z[i], None, fmt=kernel_fmt, group_size=128,
                 n=N, out_dtype=jnp.float32)
             return (y * sx).astype(jnp.bfloat16)
     elif fmt == "int8p":
@@ -141,7 +146,7 @@ def measure(shape=(4096, 4096), fmts=FMTS, budget_s=420.0, rounds=6,
 
     mats = {"bf16": (None, (stack(w.astype(jnp.bfloat16)),))}
     for fmt in fmts:
-        kw = dict(kmeans_iters=8) if fmt in ("any4", "any4t") else {}
+        kw = dict(kmeans_iters=8) if fmt in ("any4", "any4t", "any4q8") else {}
         # jit the quantizer: eager per-op dispatch through the relay takes
         # minutes per weight in the throttled regime (boundary-code jitter
         # vs eager is ~1e-7 -- irrelevant for timing)
@@ -247,7 +252,7 @@ def device_bracket(fmts=FMTS, shape=(4096, 4096), reps=8):
     chains = {}
     mats = {"bf16": (None, (stack(w.astype(jnp.bfloat16)),))}
     for fmt in fmts:
-        kw = dict(kmeans_iters=8) if fmt in ("any4", "any4t") else {}
+        kw = dict(kmeans_iters=8) if fmt in ("any4", "any4t", "any4q8") else {}
         qt = jax.jit(functools.partial(
             lin.quantize_tensor, fmt=fmt, group_size=128, **kw))(w)
         mats[fmt] = (lin._kernel_fmt(qt.fmt, qt.lut),

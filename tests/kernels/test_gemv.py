@@ -713,3 +713,128 @@ class TestTransposedLUT:
             np.asarray(lin.dequantize_tensor(qa, dtype=jnp.float32)),
             np.asarray(lin.dequantize_tensor(qs, dtype=jnp.float32)),
             rtol=1e-5, atol=1e-6)
+
+
+class TestTransposedInt8:
+    """Transposed int8 kernels (fmt='w8a8t'/'int8t', the production int8
+    defaults; packing.pack_int8_transposed): codes [kp, n] dot in the
+    MXU's natural orientation -- the row-major int8 dot implied an int8
+    operand transpose measured at 62 vs ~37 us/layer structural floor
+    (benchmarks/lab_any4_r3.json a8_floor; VERDICT r3 weak #3)."""
+
+    def test_pack_int8_transposed_roundtrip(self):
+        q = jax.random.randint(jax.random.PRNGKey(50), (32, 1536),
+                               -128, 128, dtype=jnp.int32).astype(jnp.int8)
+        pt = packing.pack_int8_transposed(q)
+        assert pt.shape == (packing.padded_k(1536), 32)
+        back = packing.unpack_int8_transposed(pt, 1536)
+        np.testing.assert_array_equal(np.asarray(back), np.asarray(q))
+        ps = packing.pack_int8_transposed(q[:, :1024].reshape(32, 1024), 2)
+        back2 = packing.unpack_int8_transposed(ps, 1024, 2)
+        np.testing.assert_array_equal(np.asarray(back2),
+                                      np.asarray(q[:, :1024]))
+
+    def test_int8_defaults_to_transposed(self):
+        w = jax.random.normal(jax.random.PRNGKey(51), (64, 1024))
+        for fmt, want in (("int8", "int8t"), ("w8a8", "w8a8t")):
+            qt = lin.quantize_tensor(w, fmt, group_size=128)
+            assert qt.fmt == want and qt.packed.shape == (1024, 64)
+            qr = lin.quantize_tensor(w, fmt, group_size=128, layout="row")
+            assert qr.fmt == fmt
+            # same numbers either layout
+            np.testing.assert_allclose(
+                np.asarray(lin.dequantize_tensor(qt, dtype=jnp.float32)),
+                np.asarray(lin.dequantize_tensor(qr, dtype=jnp.float32)),
+                rtol=0, atol=0)
+        # g < 128 keeps the row-major fused-table path
+        q32 = lin.quantize_tensor(w, "int8", group_size=64)
+        assert q32.fmt == "int8"
+
+    @pytest.mark.parametrize("fmt", ["int8", "w8a8"])
+    @pytest.mark.parametrize("m", [1, 4, 80])
+    def test_matches_dequant_reference(self, fmt, m):
+        n, k = 256, 2048
+        w = jax.random.normal(jax.random.PRNGKey(52), (n, k)) * 0.05
+        qt = lin.quantize_tensor(w, fmt, group_size=128)
+        assert qt.fmt.endswith("t")
+        x = jax.random.normal(jax.random.PRNGKey(53), (m, k))
+        y = lin.linear(x, qt, interpret=INTERPRET)
+        ref = _ref(x, qt)
+        # w8a8 adds per-row int8 activation quantization (~1/127 rel)
+        _assert_close(y, ref, tol=2e-2 if fmt == "w8a8" else 5e-3)
+
+    def test_w8a8t_external_act_quant_matches_fused(self):
+        # prefill (int8 x, external quantize) and decode (float x, fused
+        # act quant) must agree: same absmax, same round, same scale point
+        n, k = 128, 1024
+        w = jax.random.normal(jax.random.PRNGKey(54), (n, k)) * 0.05
+        qt = lin.quantize_tensor(w, "w8a8", group_size=128)
+        x = jax.random.normal(jax.random.PRNGKey(55), (2, k))
+        y_fused = gemv.quantized_matmul(
+            x, qt.packed, qt.scales, qt.zeros, None, fmt="w8a8t",
+            group_size=128, n=n, interpret=INTERPRET,
+            out_dtype=jnp.float32)
+        xq, sx = lin.quantize_activations(x)
+        y_ext = gemv.quantized_matmul(
+            xq, qt.packed, qt.scales, qt.zeros, None, fmt="w8a8t",
+            group_size=128, n=n, interpret=INTERPRET,
+            out_dtype=jnp.float32) * sx
+        np.testing.assert_allclose(np.asarray(y_fused), np.asarray(y_ext),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_row_shards_dequant_and_linear(self):
+        n, k = 64, 2048
+        w = jax.random.normal(jax.random.PRNGKey(56), (n, k)) * 0.05
+        qa = lin.quantize_tensor(w, "int8", group_size=128)
+        qs = lin.quantize_tensor(w, "int8", group_size=128, row_shards=2)
+        np.testing.assert_allclose(
+            np.asarray(lin.dequantize_tensor(qa, dtype=jnp.float32)),
+            np.asarray(lin.dequantize_tensor(qs, dtype=jnp.float32)),
+            rtol=1e-5, atol=1e-6)
+        x = jax.random.normal(jax.random.PRNGKey(57), (1, k))
+        ya = lin.linear(x, qa, interpret=INTERPRET)
+        ys = lin.linear(x, qs, interpret=INTERPRET)
+        _assert_close(np.asarray(ys, np.float32), np.asarray(ya, np.float32),
+                      tol=5e-3)
+
+
+class TestAny4Q8:
+    """any4q8: the learned per-row LUT snapped to an int8 grid with codes
+    MATERIALIZED int8 at pack time -- any4-class accuracy riding the
+    transposed int8-MXU kernel (VERDICT r3 'any4-q8' design; 8
+    bits/weight)."""
+
+    def test_wmse_matches_any4(self):
+        n, k = 128, 2048
+        w = jax.random.normal(jax.random.PRNGKey(60), (n, k)) * 0.05
+        qa = lin.quantize_tensor(w, "any4", group_size=128,
+                                 kmeans_iters=8, seed=0)
+        q8 = lin.quantize_tensor(w, "any4q8", group_size=128,
+                                 kmeans_iters=8, seed=0)
+        w0 = np.asarray(w)
+        mse_a = float(np.mean((np.asarray(
+            lin.dequantize_tensor(qa, dtype=jnp.float32)) - w0) ** 2))
+        mse_8 = float(np.mean((np.asarray(
+            lin.dequantize_tensor(q8, dtype=jnp.float32)) - w0) ** 2))
+        # int8 LUT snapping adds <= (|lut|max/254)^2 of row-scale error
+        assert mse_8 <= mse_a * 1.02, (mse_8, mse_a)
+
+    def test_linear_matches_dequant(self):
+        n, k = 128, 1024
+        w = jax.random.normal(jax.random.PRNGKey(61), (n, k)) * 0.05
+        qt = lin.quantize_tensor(w, "any4q8", group_size=128,
+                                 kmeans_iters=6)
+        assert qt.fmt == "any4q8" and qt.lut is None
+        assert qt.packed.dtype == jnp.int8
+        x = jax.random.normal(jax.random.PRNGKey(62), (2, k))
+        y = lin.linear(x, qt, interpret=INTERPRET)
+        _assert_close(y, _ref(x, qt), tol=2e-2)
+
+    def test_global_lut_variant(self):
+        n, k = 64, 1024
+        w = jax.random.normal(jax.random.PRNGKey(63), (n, k)) * 0.05
+        qt = lin.quantize_tensor(w, "any4q8", group_size=128,
+                                 kmeans_iters=6, per_row=False)
+        x = jax.random.normal(jax.random.PRNGKey(64), (1, k))
+        y = lin.linear(x, qt, interpret=INTERPRET)
+        _assert_close(y, _ref(x, qt), tol=2e-2)

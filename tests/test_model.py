@@ -304,7 +304,7 @@ class TestQuantizedEmbeddings:
     def test_tied_forward_close_to_dequant_reference(self, tied):
         cfg, params = tied
         qe = lin.quantize_tensor(params["embed_tokens"], "w8a8",
-                                 group_size=128)
+                                 group_size=128, layout="row")
         qparams = dict(params, embed_tokens=qe)
         ids = jax.random.randint(jax.random.PRNGKey(3), (2, 6), 0,
                                  cfg.vocab_size)

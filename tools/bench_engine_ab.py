@@ -69,6 +69,14 @@ def main():
                         "flagship vs the dense stack")
     p.add_argument("--rounds", type=int, default=3,
                    help="alternating timed rounds per config")
+    p.add_argument("--ab-mode", default="quant",
+                   choices=["quant", "kvcap"],
+                   help="quant: bf16 vs quantized weights (default). "
+                        "kvcap: BOTH arms quantized weights; arm A keeps "
+                        "bf16 KV at --slots, arm B takes int8 KV at 2x "
+                        "slots -- the same KV HBM budget buys twice the "
+                        "batch, demonstrating what KV quantization is FOR "
+                        "(capacity, VERDICT r3 next #5)")
     p.add_argument("--out", default=None, help="also write JSON here")
     p.add_argument("--cpu", action="store_true")
     args = p.parse_args()
@@ -95,13 +103,21 @@ def main():
     print(f"quantized ({args.fmt}) in {time.time()-t0:.0f}s",
           file=sys.stderr)
 
-    def make_engine(par, kvq=False):
-        return eng.Engine(par, cfg, max_slots=args.slots,
+    def make_engine(par, kvq=False, slots=None):
+        return eng.Engine(par, cfg, max_slots=slots or args.slots,
                           max_ctx=args.max_ctx, page_size=16,
                           kv_layout=args.kv_layout, kv_quantize=kvq)
 
-    engines = {"bf16": make_engine(params),
-               args.fmt: make_engine(qparams, kvq=args.kv_quantize)}
+    if args.ab_mode == "kvcap":
+        # equal-KV-HBM capacity A/B: int8 KV buys 2x the slots
+        arm_a, arm_b = "bf16kv", f"{args.fmt}+kvq2x"
+        engines = {arm_a: make_engine(qparams),
+                   arm_b: make_engine(qparams, kvq=True,
+                                      slots=2 * args.slots)}
+    else:
+        arm_a, arm_b = "bf16", args.fmt
+        engines = {arm_a: make_engine(params),
+                   arm_b: make_engine(qparams, kvq=args.kv_quantize)}
     rng_seed = np.random.RandomState(0)
     prompts = [rng_seed.randint(0, cfg.vocab_size, size=args.prompt_len)
                .astype(np.int32) for _ in range(args.requests)]
@@ -137,9 +153,10 @@ def main():
            "pipeline_depth": args.pipeline_depth,
            "requests": args.requests,
            "new_tokens": args.new_tokens,
+           "ab_mode": args.ab_mode,
            "rounds": rounds,
-           "bf16_tok_s": best["bf16"], "tok_s": best[args.fmt],
-           "speedup": round(best[args.fmt] / best["bf16"], 3)}
+           "bf16_tok_s": best[arm_a], "tok_s": best[arm_b],
+           "speedup": round(best[arm_b] / best[arm_a], 3)}
     line = json.dumps(out)
     print(line)
     if args.out:

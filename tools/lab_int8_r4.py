@@ -1,0 +1,83 @@
+"""Round-4 int8-family lab: transposed vs row-major int8 layouts on
+hardware (VERDICT r3 weak #3 / next #3). Chains per bench.py's timed
+design; minima over interleaved rounds."""
+import functools
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+import bench
+from any4_tpu.ops import linear as lin
+
+N = K = 4096
+
+
+def main():
+    w = jax.random.normal(jax.random.PRNGKey(0), (N, K), jnp.float32)
+    w = w * (K ** -0.5)
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, K)).astype(jnp.bfloat16)
+    stack = lambda a: None if a is None else jnp.stack([a] * bench.LAYERS)
+
+    mats = {"bf16": (None, (stack(w.astype(jnp.bfloat16)),))}
+    specs = {
+        "w8a8t": ("w8a8", {}),
+        "w8a8_row": ("w8a8", {"layout": "row"}),
+        "int8t": ("int8", {}),
+        "int8_row": ("int8", {"layout": "row"}),
+        "any4q8": ("any4q8", {"kmeans_iters": 8}),
+        "w4a8": ("w4a8", {}),
+    }
+    for name, (fmt, kw) in specs.items():
+        qt = jax.jit(functools.partial(
+            lin.quantize_tensor, fmt=fmt, group_size=128, **kw))(w)
+        kf = lin._kernel_fmt(qt.fmt, qt.lut)
+        print(f"{name}: fmt={qt.fmt} kernel={kf}", file=sys.stderr)
+        mats[name] = (kf, (stack(qt.packed), stack(qt.scales),
+                           stack(qt.zeros), stack(qt.lut)))
+
+    tiny = jax.jit(lambda v: v + 1)
+    bench.timed_exec(tiny, (x,))
+    rtt = min(bench.timed_exec(tiny, (x,)) for _ in range(3))
+    probe = bench.build_chain("bf16", x, mats["bf16"][1], (N, K), None, 1)
+    probe()
+    t1 = max(min(bench.timed_exec(probe, ()) for _ in range(2)) - rtt,
+             bench.LAYERS * N * K * 2 / 850e9)
+    reps = max(1, min(32768, int(2.0 / t1)))
+    print(f"rtt {rtt*1e3:.1f} ms, bf16 R=1 {t1*1e3:.2f} ms -> reps={reps}",
+          file=sys.stderr)
+
+    def chain_fmt(name):
+        kf, st = mats[name]
+        if name == "bf16":
+            return bench.build_chain("bf16", x, st, (N, K), None, reps)
+        base = ("w4a8" if name in ("w8a8t", "w8a8_row", "any4q8", "w4a8")
+                else "int4")  # int8 bf16-act formats ride the generic path
+        return bench.build_chain(base, x, st, (N, K), kf, reps)
+
+    fns = {k: chain_fmt(k) for k in mats}
+    for f in fns.values():
+        f()
+    best = {k: float("inf") for k in fns}
+    t0 = time.time()
+    for r in range(6):
+        if r > 0 and time.time() - t0 > 420:
+            break
+        for k, f in fns.items():
+            best[k] = min(best[k], max(bench.timed_exec(f, ()) - rtt, 1e-6))
+    per_layer = {k: v / (reps * bench.LAYERS) * 1e6 for k, v in best.items()}
+    out = {"us_per_layer": {k: round(v, 2) for k, v in per_layer.items()},
+           "speedup_vs_bf16": {k: round(per_layer["bf16"] / v, 3)
+                               for k, v in per_layer.items()},
+           "reps": reps}
+    print(json.dumps(out))
+    with open("benchmarks/lab_int8_r4.json", "w") as f:
+        json.dump(out, f)
+
+
+if __name__ == "__main__":
+    main()
