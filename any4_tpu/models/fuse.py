@@ -83,4 +83,10 @@ def fuse_projections(params: Dict) -> Dict:
         if all(k in layer for k in ("gate_proj", "up_proj")):
             layer["gateup_proj"] = _concat(
                 [layer.pop("gate_proj"), layer.pop("up_proj")])
+        # MoE expert gate/up fusion (w1 + w3 -> w13): cuts per-expert
+        # decode dispatches from 3 to 2; mixtral.moe_ffn splits halves
+        for expert in layer.get("experts", []):
+            if all(k in expert for k in ("w1", "w3")):
+                expert["w13"] = _concat(
+                    [expert.pop("w1"), expert.pop("w3")])
     return out

@@ -114,8 +114,13 @@ def moe_ffn(layer: Dict, cfg: MixtralConfig, x: jax.Array,
 
     def expert_apply(expert, e):
         def run(xi):
-            g = lin.linear(xi, expert["w1"], **kw)
-            u = lin.linear(xi, expert["w3"], **kw)
+            if "w13" in expert:   # fused gate/up (models/fuse.py)
+                gu = lin.linear(xi, expert["w13"], **kw)
+                f2 = gu.shape[-1] // 2
+                g, u = gu[..., :f2], gu[..., f2:]
+            else:
+                g = lin.linear(xi, expert["w1"], **kw)
+                u = lin.linear(xi, expert["w3"], **kw)
             h = jax.nn.silu(g.astype(jnp.float32)).astype(x.dtype) * u
             if capture is not None:
                 llama._capture(capture, f"{prefix}experts.{e}.w2", h)

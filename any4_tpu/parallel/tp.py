@@ -38,7 +38,7 @@ from ..ops import linear as lin
 # expert splits its FFN dim over tp like a dense MLP; the router stays
 # replicated so routing decisions are shard-identical.
 _COL_KEYS = ("q_proj", "k_proj", "v_proj", "gate_proj", "up_proj",
-             "qkv_proj", "gateup_proj", "w1", "w3")
+             "qkv_proj", "gateup_proj", "w1", "w3", "w13")
 _ROW_KEYS = ("o_proj", "down_proj", "w2")
 _REPL_KEYS = ("input_layernorm", "post_attention_layernorm", "norm",
               "embed_tokens", "lm_head", "router")
@@ -190,7 +190,7 @@ def _fused_part_sizes(key: str, cfg) -> Optional[list]:
         return [cfg.num_attention_heads * hd,
                 cfg.num_key_value_heads * hd,
                 cfg.num_key_value_heads * hd]
-    if key == "gateup_proj" or key == "gateup_bias":
+    if key in ("gateup_proj", "gateup_bias", "w13"):
         return [cfg.intermediate_size, cfg.intermediate_size]
     return None
 
@@ -222,7 +222,7 @@ def shard_params(params: Dict, mesh: Mesh, cfg=None) -> Tuple[Dict, Dict]:
     from ..quant.api import _walk
     for name, leaf, _ in _walk(params):
         last = name.split(".")[-1]
-        if last in ("qkv_proj", "gateup_proj"):
+        if last in ("qkv_proj", "gateup_proj", "w13"):
             has_fused = True
     if has_fused and tp > 1:
         if cfg is None:

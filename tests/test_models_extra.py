@@ -154,3 +154,73 @@ class TestMixtral:
         logits, _ = jax.jit(
             lambda p, i: mixtral.forward(p, cfg, i))(params, ids)
         assert np.isfinite(np.asarray(logits, np.float32)).all()
+
+
+class TestMixtralExpertFusion:
+    """Expert w1/w3 -> w13 fusion (models/fuse.py): 3 -> 2 decode
+    dispatches per routed expert, numerics identical (the fused weight is
+    the exact concatenation)."""
+
+    @pytest.fixture(scope="class")
+    def tiny(self):
+        cfg = mixtral.MixtralConfig.tiny(vocab=256, layers=2)
+        params = mixtral.init_params(cfg, jax.random.PRNGKey(4))
+        return cfg, params
+
+    def test_fused_matches_unfused_dense(self, tiny):
+        from any4_tpu.models import fuse
+        cfg, params = tiny
+        ids = jax.random.randint(jax.random.PRNGKey(5), (1, 6), 0,
+                                 cfg.vocab_size)
+        base, _ = mixtral.forward(params, cfg, ids)
+        fused = fuse.fuse_projections(params)
+        ex = fused["layers"][0]["experts"][0]
+        assert "w13" in ex and "w1" not in ex and "w3" not in ex
+        out, _ = mixtral.forward(fused, cfg, ids)
+        np.testing.assert_allclose(np.asarray(out, np.float32),
+                                   np.asarray(base, np.float32),
+                                   atol=2e-2, rtol=2e-2)
+
+    def test_fused_matches_unfused_quantized(self, tiny):
+        from any4_tpu.models import fuse
+        cfg, params = tiny
+        qp = api.quantize_model(params, fmt="int4", group_size=32)
+        ids = jax.random.randint(jax.random.PRNGKey(6), (1, 6), 0,
+                                 cfg.vocab_size)
+        base, _ = mixtral.forward(qp, cfg, ids)
+        fused = fuse.fuse_projections(qp)
+        assert isinstance(fused["layers"][0]["experts"][0]["w13"],
+                          lin.QuantizedTensor)
+        out, _ = mixtral.forward(fused, cfg, ids)
+        np.testing.assert_allclose(np.asarray(out, np.float32),
+                                   np.asarray(base, np.float32),
+                                   atol=1e-3, rtol=1e-3)
+
+    def test_fused_experts_tp_matches_single(self):
+        import jax as _jax
+        if len(_jax.devices()) < 2:
+            pytest.skip("needs >=2 devices")
+        from any4_tpu.models import fuse
+        from any4_tpu.parallel import tp
+        # float32: under TP the psum's different summation order can flip
+        # a bf16 router top-k near-tie, changing the routed expert set
+        # (same caveat as TestMixtralTP)
+        cfg = mixtral.MixtralConfig(
+            vocab_size=128, hidden_size=64, intermediate_size=128,
+            num_hidden_layers=2, num_attention_heads=8,
+            num_key_value_heads=4, head_dim=8, num_local_experts=4,
+            num_experts_per_tok=2, tie_word_embeddings=True,
+            dtype=jnp.float32)
+        params = mixtral.init_params(cfg, jax.random.PRNGKey(4))
+        fused = fuse.fuse_projections(params)
+        ids = jax.random.randint(jax.random.PRNGKey(7), (2, 4), 0,
+                                 cfg.vocab_size)
+        base, _ = mixtral.forward(fused, cfg, ids)
+        mesh = tp.make_mesh(dp=1, tp=2, devices=_jax.devices()[:2])
+        sharded, specs = tp.shard_params(fused, mesh, cfg=cfg)
+        fwd = tp.make_tp_forward(cfg, mesh, specs,
+                                 forward_fn=mixtral.forward)
+        out = fwd(sharded, ids)
+        np.testing.assert_allclose(np.asarray(out, np.float32),
+                                   np.asarray(base, np.float32),
+                                   atol=3e-2, rtol=3e-2)

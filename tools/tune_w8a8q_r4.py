@@ -58,8 +58,10 @@ def main():
     bench.timed_exec(tiny, (x,))
     rtt = min(bench.timed_exec(tiny, (x,)) for _ in range(3))
     reps = 1500
-    configs = [(512, 4), (512, 2), (512, 1), (256, 4), (256, 2),
-               (128, 4), (128, 2), (1024, 2), (1024, 1)]
+    import os
+    cfg_env = os.environ.get("SWEEP_CONFIGS", "512:4,512:2,256:4,256:2")
+    configs = [tuple(int(v) for v in c.split(":"))
+               for c in cfg_env.split(",")]
     fns = {}
     for bn, kc in configs:
         try:
