@@ -27,9 +27,13 @@ from .pallas import gemv
 _NIBBLE_FMTS = ("int4", "any4", "nf4", "fp4", "mx4")
 # transposed (k-on-sublanes) packings: the sublane-gather LUT kernels plus
 # the natural-orientation int8 kernels (packed axis 0 carries k, axis 1 n)
-TRANSPOSED_FMTS = ("any4t", "nf4t", "fp4t", "w8a8t", "int8t", "any4q8")
+TRANSPOSED_FMTS = ("any4t", "nf4t", "fp4t", "w8a8t", "int8t")
 # transposed formats whose packed array is int8 [kp, n] (one k per row)
-_T_INT8_FMTS = ("w8a8t", "int8t", "any4q8")
+_T_INT8_FMTS = ("w8a8t", "int8t")
+# quad-word int8 formats: packed [n/4, kp] int32, four rows' bytes per
+# word, in-kernel bitcast (the w4a8 mechanics on full bytes) -- the
+# measured-best int8-weight layout (lab_int8b_r4.json)
+_QUAD8_FMTS = ("w8a8q", "int8q", "any4q8")
 # m threshold below which the fused GEMV kernel is used. Measured on
 # hardware (tools/tune_m.py, benchmarks/tune_m_{int4p,any4}_4096.json):
 # the kernel's cost is dominated by per-weight-element dequant work, so
@@ -133,13 +137,15 @@ def quantize_tensor(w: jax.Array, fmt: str = "any4", group_size: int = 128,
             and group_size % 128 == 0:
         fmt = fmt + "t"     # default to the fast transposed layout
     if fmt in ("w8a8", "int8") and layout != "row" \
-            and group_size % 128 == 0:
-        # int8 weights likewise default to the transposed (natural MXU
-        # orientation) layout: the row-major int8 dot implies an int8
-        # operand transpose in transit (62 vs ~30 us/layer at 4096^2;
-        # see packing.pack_int8_transposed). Row-major remains for
-        # embeddings (layout="row") and g < 128.
-        fmt = fmt + "t"
+            and group_size % 128 == 0 and n % 4 == 0:
+        # int8 weights default to the quad-word layout (four rows' bytes
+        # per int32, in-kernel bitcast -- w4a8's mechanics on full
+        # bytes): the measured-best of four int8 layouts (60.1/62.5 vs
+        # row 62.3/121.7 and transposed 64.6 us/layer at 4096^2 m=1;
+        # benchmarks/lab_int8_r4.json, lab_int8b_r4.json, PERF_NOTES
+        # round 4). Row-major remains for embeddings (layout="row"),
+        # g < 128, and n % 4 != 0.
+        fmt = "int8q" if fmt == "int8" else "w8a8q"
     host_input = isinstance(w, _np.ndarray)
     int_zeros = bool(kwargs.pop("int_zeros", False))
     assert not int_zeros or fmt in ("int4", "int4p", "int8", "int8p",
@@ -198,11 +204,22 @@ def quantize_tensor(w: jax.Array, fmt: str = "any4", group_size: int = 128,
         lut = None
     elif fmt in ("w8a8t", "int8t"):
         # transposed (natural MXU orientation) int8: same numbers as
-        # w8a8/int8, codes stored [kp, n] so each 128-wide k group dots
-        # as x [m, 128] @ w [128, bn] with no operand transpose
+        # w8a8/int8, codes stored [kp, n]. Kept addressable for
+        # measurement; the quad layout below measured faster
         q, scales, zeros = quant.int8_quantize(
             w, group_size, symmetric=symmetric, int_zeros=int_zeros)
         packed = packing.pack_int8_transposed(q, row_shards)
+        lut = None
+    elif fmt in ("w8a8q", "int8q"):
+        # quad-word int8 (the production default): four rows' bytes per
+        # int32 word, in-kernel bitcast to a [bn, 128] int8 tile with
+        # zero vector ops (w4a8's mechanics on full bytes)
+        assert group_size % 128 == 0, \
+            f"{fmt} requires group_size a multiple of 128"
+        assert n % 4 == 0, f"{fmt} quad packing requires n % 4 == 0"
+        q, scales, zeros = quant.int8_quantize(
+            w, group_size, symmetric=symmetric, int_zeros=int_zeros)
+        packed = packing.pack_int8_quad(q, row_shards)
         lut = None
     elif fmt == "any4q8":
         # any4 accuracy on the w8a8t kernel: the learned per-row LUT is
@@ -210,7 +227,7 @@ def quantize_tensor(w: jax.Array, fmt: str = "any4", group_size: int = 128,
         # scale) and the CODES ARE MATERIALIZED as int8 at pack time --
         # recon lut[c]*s + z == lut8[c]*(s*sr) + z, so the row scale
         # folds into the group scales and the runtime is exactly the
-        # transposed int8-MXU path (8 bits/weight instead of 4.25: a
+        # quad int8-MXU path (8 bits/weight instead of 4.25: a
         # speed/memory tradeoff point between any4t and w4a8 -- VERDICT
         # r3 next #3's "unexplored any4-q8 design")
         assert group_size % 128 == 0, \
@@ -226,8 +243,9 @@ def quantize_tensor(w: jax.Array, fmt: str = "any4", group_size: int = 128,
         if lut8.shape[0] == 1:                           # global LUT
             lut8 = jnp.broadcast_to(lut8, (n, 16))
             sr = jnp.broadcast_to(sr, (n, 1))
+        assert n % 4 == 0, "any4q8 quad packing requires n % 4 == 0"
         q8 = jnp.take_along_axis(lut8, codes.astype(jnp.int32), axis=1)
-        packed = packing.pack_int8_transposed(q8, row_shards)
+        packed = packing.pack_int8_quad(q8, row_shards)
         scales = scales * sr                             # fold row scale
         lut = None
     elif fmt == "int4p":
@@ -391,6 +409,8 @@ def dequantize_tensor(qt: QuantizedTensor, dtype=None) -> jax.Array:
         q = qt.packed.astype(jnp.float32)
     elif qt.fmt in _T_INT8_FMTS:
         q = qt.packed.T.astype(jnp.float32)       # [n, kp]
+    elif qt.fmt in _QUAD8_FMTS:
+        q = packing.unpack_int8_quad(qt.packed, kp).astype(jnp.float32)
     else:
         if qt.fmt == "int4p":
             codes = packing.unpack_int4_pair(qt.packed, kp).astype(jnp.int32)
@@ -491,8 +511,8 @@ def _kernel_fmt(fmt: str, lut: Optional[jax.Array] = None) -> str:
         return "lut4"
     if fmt == "any4q8":
         # the LUT was materialized into int8 codes at pack time: runtime
-        # IS the transposed int8-MXU path
-        return "w8a8t"
+        # IS the quad int8-MXU path
+        return "w8a8q"
     if fmt == "int8p":
         # split-byte int8 runs on the pair-packed magic kernel with
         # plane-transformed scales (quantize_tensor folds them)
@@ -539,7 +559,7 @@ def linear(x: jax.Array, w, bias: Optional[jax.Array] = None, *,
         m = 1
         for d in x.shape[:-1]:
             m *= d
-        if w.fmt in ("w4a8", "w8a8", "w8a8t", "any4q8"):
+        if w.fmt in ("w4a8", "w8a8", "w8a8t", "w8a8q", "any4q8"):
             # int8-MXU formats run the fused kernel at EVERY m: decode in
             # one dispatch, prefill chunked over m so the VMEM f32
             # accumulator block stays within budget. Unlike the bf16
@@ -549,7 +569,9 @@ def linear(x: jax.Array, w, bias: Optional[jax.Array] = None, *,
             xa = _shard_align_x(x, w)
             kfmt = _kernel_fmt(w.fmt)
             n_local = (w.packed.shape[1] if w.fmt in TRANSPOSED_FMTS else
-                       w.packed.shape[0] * (4 if w.fmt == "w4a8" else 1))
+                       w.packed.shape[0] *
+                       (4 if w.fmt == "w4a8" or w.fmt in _QUAD8_FMTS
+                        else 1))
             if m <= gemv.FUSED_ACT_M_MAX:
                 # decode: the per-row absmax quantize and the y*sx
                 # post-scale are fused into the kernel itself (float
@@ -593,7 +615,8 @@ def linear(x: jax.Array, w, bias: Optional[jax.Array] = None, *,
                 gs = 128  # plane-granular scales on the doubled axis
             n_local = (w.packed.shape[1] if w.fmt in TRANSPOSED_FMTS else
                        w.packed.shape[0] *
-                       (2 if w.fmt in ("int4p", "int8p") else 1))
+                       (2 if w.fmt in ("int4p", "int8p") else
+                        4 if w.fmt in _QUAD8_FMTS else 1))
             y = gemv.quantized_matmul(
                 xq, w.packed, w.scales, w.zeros, w.lut,
                 fmt=_kernel_fmt(w.fmt, w.lut), group_size=gs,

@@ -169,7 +169,7 @@ def _interleave_rows(leaf, sizes, tp: int):
                 all((sz // tp) % 2 == 0 for sz in sizes), \
                 "pair-packed fused reshard needs even per-shard chunks"
             packed_order = order[0::2] // 2
-        elif leaf.fmt == "w4a8":
+        elif leaf.fmt in ("w4a8", "w8a8q", "int8q", "any4q8"):
             # quad-packed words hold FOUR output rows
             assert (offs % 4 == 0).all() and \
                 all((sz // tp) % 4 == 0 for sz in sizes), \

@@ -370,6 +370,10 @@ def main():
         dev = device_bracket()
         out["device_us_per_layer_one_state"] = dev
         if dev.get("bf16"):
+            # fixed inter-op gap of this relay runtime: wall minus device
+            # for the SAME bf16 chain (applies to plain XLA dots too --
+            # NOT a pallas prologue, NOT DVFS; gap_account_r4.json)
+            out["inter_op_gap_us"] = round(t_b * 1e6 - dev["bf16"], 2)
             out["device_time_speedups_one_state"] = {
                 k: round(dev["bf16"] / v, 2)
                 for k, v in dev.items() if k != "bf16" and v}

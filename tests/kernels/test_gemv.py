@@ -326,7 +326,7 @@ class TestInt8Pair:
 
     def test_same_bytes_as_int8(self):
         w = jax.random.normal(jax.random.PRNGKey(73), (64, 2048))
-        qa = lin.quantize_tensor(w, "int8", group_size=128)
+        qa = lin.quantize_tensor(w, "int8", group_size=128, layout="row")
         qb = lin.quantize_tensor(w, "int8p", group_size=128)
         assert qb.packed.size * 4 == qa.packed.size  # int32 words vs int8
 
@@ -734,11 +734,12 @@ class TestTransposedInt8:
         np.testing.assert_array_equal(np.asarray(back2),
                                       np.asarray(q[:, :1024]))
 
-    def test_int8_defaults_to_transposed(self):
+    def test_int8_defaults_to_quad(self):
         w = jax.random.normal(jax.random.PRNGKey(51), (64, 1024))
-        for fmt, want in (("int8", "int8t"), ("w8a8", "w8a8t")):
+        for fmt, want in (("int8", "int8q"), ("w8a8", "w8a8q")):
             qt = lin.quantize_tensor(w, fmt, group_size=128)
-            assert qt.fmt == want and qt.packed.shape == (1024, 64)
+            assert qt.fmt == want and qt.packed.shape == (16, 1024)
+            assert qt.packed.dtype == jnp.int32
             qr = lin.quantize_tensor(w, fmt, group_size=128, layout="row")
             assert qr.fmt == fmt
             # same numbers either layout
@@ -750,13 +751,24 @@ class TestTransposedInt8:
         q32 = lin.quantize_tensor(w, "int8", group_size=64)
         assert q32.fmt == "int8"
 
+    @pytest.mark.parametrize("fmt", ["int8t", "w8a8t"])
+    def test_transposed_variants_match_dequant(self, fmt):
+        # kept addressable for measurement (lab_int8_r4); not the default
+        n, k = 128, 1024
+        w = jax.random.normal(jax.random.PRNGKey(58), (n, k)) * 0.05
+        qt = lin.quantize_tensor(w, fmt, group_size=128)
+        assert qt.fmt == fmt and qt.packed.shape == (1024, n)
+        x = jax.random.normal(jax.random.PRNGKey(59), (2, k))
+        y = lin.linear(x, qt, interpret=INTERPRET)
+        _assert_close(y, _ref(x, qt), tol=2e-2)
+
     @pytest.mark.parametrize("fmt", ["int8", "w8a8"])
     @pytest.mark.parametrize("m", [1, 4, 80])
     def test_matches_dequant_reference(self, fmt, m):
         n, k = 256, 2048
         w = jax.random.normal(jax.random.PRNGKey(52), (n, k)) * 0.05
         qt = lin.quantize_tensor(w, fmt, group_size=128)
-        assert qt.fmt.endswith("t")
+        assert qt.fmt.endswith("q")
         x = jax.random.normal(jax.random.PRNGKey(53), (m, k))
         y = lin.linear(x, qt, interpret=INTERPRET)
         ref = _ref(x, qt)
@@ -771,12 +783,12 @@ class TestTransposedInt8:
         qt = lin.quantize_tensor(w, "w8a8", group_size=128)
         x = jax.random.normal(jax.random.PRNGKey(55), (2, k))
         y_fused = gemv.quantized_matmul(
-            x, qt.packed, qt.scales, qt.zeros, None, fmt="w8a8t",
+            x, qt.packed, qt.scales, qt.zeros, None, fmt="w8a8q",
             group_size=128, n=n, interpret=INTERPRET,
             out_dtype=jnp.float32)
         xq, sx = lin.quantize_activations(x)
         y_ext = gemv.quantized_matmul(
-            xq, qt.packed, qt.scales, qt.zeros, None, fmt="w8a8t",
+            xq, qt.packed, qt.scales, qt.zeros, None, fmt="w8a8q",
             group_size=128, n=n, interpret=INTERPRET,
             out_dtype=jnp.float32) * sx
         np.testing.assert_allclose(np.asarray(y_fused), np.asarray(y_ext),
@@ -825,7 +837,8 @@ class TestAny4Q8:
         qt = lin.quantize_tensor(w, "any4q8", group_size=128,
                                  kmeans_iters=6)
         assert qt.fmt == "any4q8" and qt.lut is None
-        assert qt.packed.dtype == jnp.int8
+        assert qt.packed.dtype == jnp.int32   # quad words (4 rows/word)
+        assert qt.packed.shape == (n // 4, k)
         x = jax.random.normal(jax.random.PRNGKey(62), (2, k))
         y = lin.linear(x, qt, interpret=INTERPRET)
         _assert_close(y, _ref(x, qt), tol=2e-2)

@@ -77,6 +77,9 @@ def main():
                         "slots -- the same KV HBM budget buys twice the "
                         "batch, demonstrating what KV quantization is FOR "
                         "(capacity, VERDICT r3 next #5)")
+    p.add_argument("--fuse", action="store_true",
+                   help="fuse qkv/gateup (and per-expert w1/w3 -> w13) in "
+                        "BOTH arms before building engines")
     p.add_argument("--out", default=None, help="also write JSON here")
     p.add_argument("--cpu", action="store_true")
     args = p.parse_args()
@@ -102,6 +105,10 @@ def main():
         params, group_size=args.group_size, **kw)
     print(f"quantized ({args.fmt}) in {time.time()-t0:.0f}s",
           file=sys.stderr)
+    if args.fuse:
+        from any4_tpu.models import fuse
+        params = fuse.fuse_projections(params)
+        qparams = fuse.fuse_projections(qparams)
 
     def make_engine(par, kvq=False, slots=None):
         return eng.Engine(par, cfg, max_slots=slots or args.slots,

@@ -29,7 +29,7 @@ B, H, REP, D = 8, 8, 4, 64
 
 def variants(ctx):
     key = jax.random.PRNGKey(0)
-    q = jax.random.normal(key, (B, H * REP, D), jnp.bfloat16)
+    q0 = jax.random.normal(key, (B, H * REP, D), jnp.bfloat16)
     kf = jax.random.normal(jax.random.PRNGKey(1), (H, B, ctx, D))
     vf = jax.random.normal(jax.random.PRNGKey(2), (H, B, ctx, D))
     amax_k = jnp.max(jnp.abs(kf), axis=-1, keepdims=True)
@@ -41,16 +41,19 @@ def variants(ctx):
     vb = (vc.astype(jnp.float32) * vs * (1 / 127.5)).astype(jnp.bfloat16)
     lens = jnp.full((B,), ctx, jnp.int32)
 
+    # every variant takes q as an ARGUMENT so the timing chain can feed
+    # the output back in (a loop-carried dependence; without it XLA
+    # hoists the whole attention out of the fori_loop -- first probe run
+    # measured 0.0 us at ctx2048)
     fns = {}
-    fns["bf16"] = functools.partial(kvc._dense_attend, q, kb, vb, lens)
-    fns["q8"] = functools.partial(kvc._dense_attend_q8, q, kc, ks, vc, vs,
-                                  lens)
+    fns["bf16"] = lambda q: kvc._dense_attend(q, kb, vb, lens)
+    fns["q8"] = lambda q: kvc._dense_attend_q8(q, kc, ks, vc, vs, lens)
 
     def q8_deq(q, kc, ks, vc, vs, lens):
         kd = (kc.astype(jnp.float32) * ks * (1 / 127.5)).astype(jnp.bfloat16)
         vd = (vc.astype(jnp.float32) * vs * (1 / 127.5)).astype(jnp.bfloat16)
         return kvc._dense_attend(q, kd, vd, lens)
-    fns["q8_deq"] = functools.partial(q8_deq, q, kc, ks, vc, vs, lens)
+    fns["q8_deq"] = lambda q: q8_deq(q, kc, ks, vc, vs, lens)
 
     def q8_qq(q, kc, ks, vc, vs, lens):
         b, nq, d = q.shape
@@ -75,28 +78,33 @@ def variants(ctx):
                          vc.astype(jnp.bfloat16),
                          preferred_element_type=jnp.float32)
         return out.transpose(1, 0, 2, 3).reshape(b, nq, d).astype(q.dtype)
-    fns["q8_qq"] = functools.partial(q8_qq, q, kc, ks, vc, vs, lens)
-    return fns
+    fns["q8_qq"] = lambda q: q8_qq(q, kc, ks, vc, vs, lens)
+    return fns, q0
 
 
 def main():
     out = {}
     for ctx in (2048, 4096):
-        fns = variants(ctx)
+        fns, q0 = variants(ctx)
         reps = 200
 
         def chain(f):
             @jax.jit
-            def run():
-                def body(i, acc):
-                    y = f()
-                    return acc + jnp.float32(jnp.sum(y[0, 0]))
-                return jax.lax.fori_loop(0, reps, body, jnp.float32(0))
-            return run
+            def run(q):
+                def body(i, q):
+                    y = f(q)
+                    # renormalized feedback keeps values finite and the
+                    # loop body live
+                    return (y * jax.lax.rsqrt(
+                        jnp.float32(jnp.mean(y * y)) + 1e-6)
+                        ).astype(jnp.bfloat16)
+                out = jax.lax.fori_loop(0, reps, body, q)
+                return jnp.sum(out.astype(jnp.float32))[None, None]
+            return functools.partial(run, q0)
 
         runs = {k: chain(f) for k, f in fns.items()}
         tiny = jax.jit(lambda v: v + 1)
-        x0 = jnp.zeros((1,), jnp.float32)
+        x0 = jnp.zeros((1, 1), jnp.float32)
         bench.timed_exec(tiny, (x0,))
         rtt = min(bench.timed_exec(tiny, (x0,)) for _ in range(3))
         for f in runs.values():
