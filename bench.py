@@ -306,8 +306,9 @@ def main():
     # attach the north-star e2e artifact (tokens/s/chip quantized decode,
     # tools/bench_decode.py) when a recorded run exists
     decode = {}
-    for fmt in ("w4a8", "int4p", "any4t", "any4"):
-        for tag in ("qemb_r3", "r3", "burst256", "burst", "r2b", "r2"):
+    for fmt in ("w4a8", "int4p", "any4t", "any4", "any4q8"):
+        for tag in ("qemb_r4", "r4", "qemb_r3", "r3", "burst256", "burst",
+                    "r2b", "r2"):
             try:
                 with open(f"benchmarks/bench_decode_1b_{fmt}_{tag}.log") as f:
                     for ln in f:
@@ -343,26 +344,37 @@ def main():
     # alternated IN ONE PROCESS (tools/bench_engine_ab.py -- regime-
     # robust; the adjacent-window runs it superseded are kept as
     # bench_engine_1b_{bf16,w4a8_qemb}_r3.json)
-    for label, fname in (
-            ("engine_1b", "bench_engine_ab_1b_w4a8_r3.json"),
-            ("engine_1b_ctx2048", "bench_engine_ab_1b_w4a8_ctx2048_r3.json"),
+    for label, fnames in (
+            ("engine_1b", ("bench_engine_ab_1b_w4a8_r4.json",
+                           "bench_engine_ab_1b_w4a8_r3.json")),
+            ("engine_1b_ctx2048",
+             ("bench_engine_ab_1b_w4a8_ctx2048_r4.json",
+              "bench_engine_ab_1b_w4a8_ctx2048_r3.json")),
             ("engine_1b_ctx2048_kvq",
-             "bench_engine_ab_1b_w4a8_kvq_ctx2048_r3.json"),
-            ("engine_1bmoe", "bench_engine_ab_1bmoe_w4a8_r3.json")):
-        try:
-            with open(f"benchmarks/{fname}") as f:
-                ab = json.loads(f.readline())
-            out[label] = {
-                "bf16_tok_s": ab["bf16_tok_s"],
-                "w4a8_qemb_tok_s": ab["tok_s"],
-                "speedup": ab["speedup"],
-                "rounds": ab.get("rounds"),
-                "config": {k: ab.get(k) for k in
-                           ("slots", "max_ctx", "burst", "pipeline",
-                            "kv_layout", "kv_quantize")},
-            }
-        except (OSError, json.JSONDecodeError, KeyError):
-            pass
+             ("bench_engine_ab_1b_w4a8_kvq_ctx2048_r4.json",
+              "bench_engine_ab_1b_w4a8_kvq_ctx2048_r3.json")),
+            ("engine_1b_ctx4096",
+             ("bench_engine_ab_1b_w4a8_ctx4096_r4.json",)),
+            ("engine_1b_kvcap_ctx2048",
+             ("bench_engine_ab_1b_kvcap_ctx2048_r4.json",)),
+            ("engine_1bmoe", ("bench_engine_ab_1bmoe_w4a8_r4.json",
+                              "bench_engine_ab_1bmoe_w4a8_r3.json"))):
+        for fname in fnames:
+            try:
+                with open(f"benchmarks/{fname}") as f:
+                    ab = json.loads(f.readline())
+                out[label] = {
+                    "bf16_tok_s": ab["bf16_tok_s"],
+                    "w4a8_qemb_tok_s": ab["tok_s"],
+                    "speedup": ab["speedup"],
+                    "rounds": ab.get("rounds"),
+                    "config": {k: ab.get(k) for k in
+                               ("slots", "max_ctx", "burst", "pipeline",
+                                "kv_layout", "kv_quantize", "ab_mode")},
+                }
+                break
+            except (OSError, json.JSONDecodeError, KeyError):
+                pass
     # regime bracket (VERDICT r2 weak #7): a fresh DEVICE-time capture of
     # every format in ONE profiler state, attached alongside the wall
     # minima so the artifact is robust to the pool's DVFS state
