@@ -18,6 +18,19 @@ reference's llama adapter, pre_process/awq/auto_scale.py llama branches):
   2. v_proj -> o_proj           (fold into v rows)
   3. post_attention_layernorm -> {gate,up}_proj
   4. up_proj -> down_proj       (fold into up rows)
+
+Model-family coverage (a deliberate narrowing of the reference's
+adapter table, pre_process/awq/pre_quant.py:25-83 + auto_scale.py): the
+reference ships AWQ schemas for llama/opt/bloom/falcon/mpt/gptj/gptneox/
+mixtral because it pre-processes arbitrary HF torch models; this
+framework only has functional forwards for the llama family (incl.
+Mistral/Qwen2/Gemma layouts), OPT, and Mixtral, so those are the three
+AWQ schemas implemented (llama above; OPT fc1/fc2+attention;
+Mixtral keeps the router in the scale group -- see run_awq's per-family
+branches).
+bloom/falcon/mpt/gptj have no forward here to calibrate against; adding
+one of those families means adding its model module first, then a
+4-line group schema in this file.
 """
 from __future__ import annotations
 

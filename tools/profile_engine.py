@@ -33,6 +33,7 @@ def main():
     p.add_argument("--quantize-embeddings", default=None)
     p.add_argument("--kv-layout", default="paged",
                    choices=["paged", "contig"])
+    p.add_argument("--kv-quantize", action="store_true")
     args = p.parse_args()
 
     from any4_tpu.models import llama
@@ -46,7 +47,8 @@ def main():
             params, fmt=args.fmt,
             quantize_embeddings=args.quantize_embeddings)
     e = eng.Engine(params, cfg, max_slots=args.slots, max_ctx=args.ctx,
-                   page_size=16, kv_layout=args.kv_layout)
+                   page_size=16, kv_layout=args.kv_layout,
+                   kv_quantize=args.kv_quantize)
     rng = np.random.RandomState(0)
     for _ in range(args.slots):
         e.submit(rng.randint(0, cfg.vocab_size, args.prompt_len)
@@ -70,7 +72,8 @@ def main():
               file=sys.stderr)
     out = {"size": args.size, "fmt": args.fmt, "slots": args.slots,
            "burst": args.burst, "rows": rows[:args.top]}
-    path = f"benchmarks/profile_engine_{args.size}_{args.fmt}.json"
+    path = f"benchmarks/profile_engine_{args.size}_{args.fmt}" + \
+        ("_kvq" if args.kv_quantize else "") + ".json"
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps({"out": path, "us_per_step_sum": round(total/steps, 1)}))
