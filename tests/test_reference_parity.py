@@ -420,3 +420,39 @@ class TestModelParity:
 def _logsumexp(x):
     m = x.max(axis=-1, keepdims=True)
     return m + np.log(np.exp(x - m).sum(axis=-1, keepdims=True))
+
+
+class TestAny4Q8ModelAccuracy:
+    """any4q8 (LUT snapped to int8, codes materialized; runs on the
+    int8-MXU kernel) must hold any4-level MODEL accuracy: same random-init
+    HF-convention model, ppl delta vs the any4 pipeline within 1%."""
+
+    def test_ppl_matches_any4(self, ref):
+        transformers = pytest.importorskip("transformers")
+
+        import jax.numpy as jnp
+
+        from any4_tpu.models import loader
+        from any4_tpu.quant import api
+
+        torch = ref.torch
+        hf_cfg = transformers.LlamaConfig(
+            vocab_size=256, hidden_size=128, intermediate_size=256,
+            num_hidden_layers=2, num_attention_heads=4,
+            num_key_value_heads=2, max_position_embeddings=128,
+            tie_word_embeddings=False, attn_implementation="eager")
+        torch.manual_seed(3)
+        model = transformers.LlamaForCausalLM(hf_cfg).eval().float()
+        cfg, params = loader.convert_torch_llama(model, dtype=jnp.float32)
+        cfg = cfg.__class__(**{**cfg.__dict__, "dtype": jnp.float32})
+        ids = np.random.default_rng(9).integers(
+            0, hf_cfg.vocab_size, (4, 64)).astype(np.int64)
+
+        nlls = {}
+        for fmt in ("any4", "any4q8"):
+            qp = api.quantize_model(params, fmt=fmt, group_size=128,
+                                    kmeans_iters=30, n_init=2, seed=0)
+            nlls[fmt] = TestModelParity._jax_nll(qp, cfg, ids)
+        ppl_a = float(np.exp(nlls["any4"]))
+        ppl_q8 = float(np.exp(nlls["any4q8"]))
+        assert abs(ppl_q8 - ppl_a) <= 0.01 * ppl_a, (ppl_q8, ppl_a)
