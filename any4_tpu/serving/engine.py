@@ -227,8 +227,20 @@ def _decode_burst_impl(params, cfg, tokens, seq_lens, tables, k_pages,
     return out.T, last, lens, kp, vp          # [b, n_steps], [b], [b]
 
 
+# The KV pools are DONATED through every device program: the engine
+# always replaces its pool references with the returned ones, so the old
+# buffers are dead -- and donation is what keeps the pools bit-stable in
+# their DEFAULT layout across the whole lifecycle. Without it, XLA chose
+# a scatter-friendly {1,3,2,0} layout for the prefill program's pool
+# outputs; the committed layout then forced the decode burst to pay TWO
+# full-pool layout copies per layer per STEP (~2/3 of the step at ctx
+# 2048: 32 copy-done ops in benchmarks/profile_engine_1b_w4a8.json;
+# layout evidence via tools/dump_burst_hlo.py). Donated aliased outputs
+# must match their input layout, pinning default end to end, and the
+# in-loop dus writes update in place.
 _decode_burst = functools.partial(
-    jax.jit, static_argnames=("cfg", "page_size", "n_steps", "kv_layout"))(
+    jax.jit, static_argnames=("cfg", "page_size", "n_steps", "kv_layout"),
+    donate_argnums=(5, 6))(
     lambda params, cfg, tokens, seq_lens, tables, k_pages, v_pages,
     page_size, n_steps, kv_layout="paged": _decode_burst_impl(
         params, cfg, tokens, seq_lens, tables, k_pages, v_pages,
@@ -237,7 +249,8 @@ _decode_burst = functools.partial(
 
 _prefill_one = functools.partial(jax.jit,
                                  static_argnames=("cfg", "page_size",
-                                                  "kv_layout"))(
+                                                  "kv_layout"),
+                                 donate_argnums=(4, 5))(
     lambda params, cfg, prompt, true_len, k_pages, v_pages, table_row,
     page_size, kv_layout="paged": _prefill_impl(
         params, cfg, prompt, true_len, k_pages,
@@ -245,7 +258,8 @@ _prefill_one = functools.partial(jax.jit,
 
 _decode_batch = functools.partial(jax.jit,
                                   static_argnames=("cfg", "page_size",
-                                                   "kv_layout"))(
+                                                   "kv_layout"),
+                                  donate_argnums=(5, 6))(
     lambda params, cfg, tokens, seq_lens, tables, k_pages, v_pages,
     page_size, kv_layout="paged": _decode_impl(
         params, cfg, tokens, seq_lens, tables,

@@ -145,6 +145,23 @@ def write_tokens(pages, kv: jax.Array, page_ids: jax.Array,
                               page_ids, offsets)
         return (qpages, scales)
     b, t, h, d = kv.shape
+    if t == 1 and b <= 16:
+        # decode hot path: per-slot dynamic_update_slice on the FLAT pool
+        # instead of one scatter. The scatter made XLA carry the pools in
+        # non-default layouts through the burst while-loop, costing TWO
+        # full-pool layout copies per layer per step AND a materialized
+        # (instead of bitcast) dense ctx view -- ~2/3 of the decode step
+        # at ctx 2048 (32x pool copy-dones in
+        # benchmarks/profile_engine_1b_w4a8.json; HLO layout evidence via
+        # tools/dump_burst_hlo.py). dus is the canonical in-place KV
+        # update XLA aliases through while loops.
+        flat = pages.reshape(h, -1, d)              # [h, P*ps, d]
+        pos = page_ids * pages.shape[2] + offsets   # [b, 1]
+        for i in range(b):
+            tok = kv[i, 0].astype(flat.dtype)[:, None, :]   # [h, 1, d]
+            flat = jax.lax.dynamic_update_slice(
+                flat, tok, (0, pos[i, 0], 0))
+        return flat.reshape(pages.shape)
     flat = pages.reshape(h, -1, d)                  # [h, P*ps, d]
     idx = (page_ids * pages.shape[2] + offsets).reshape(-1)
     vals = kv.transpose(2, 0, 1, 3).reshape(h, b * t, d)
