@@ -419,6 +419,10 @@ def _flash_contig_kernel_q(seq_ref, q_ref, k_ref, ks_ref, v_ref, vs_ref,
 # the per-grid-step overhead (the ps=16 page-grid killer, PERF_NOTES
 # paged-attention addendum) amortizes, small enough for any VMEM budget.
 CONTIG_BLOCK_TOKENS = 512
+# context bucket at/above which contig decode attention takes the flash
+# kernel instead of the dense view (measured crossover; see
+# contig_attention dispatch)
+CONTIG_FLASH_MIN_CTX = 2048
 
 
 def flash_contig_decode(q: jax.Array, k_pool, v_pool, seq_lens: jax.Array,
@@ -560,6 +564,14 @@ def contig_attention(q: jax.Array, k_pages, v_pages,
             # CI mirror of paged_attention: quantized pools take the
             # dense path, unquantized keep the kernel interpret-covered
             impl = "dense" if quantized else "flash"
+        elif ctx_bucket >= CONTIG_FLASH_MIN_CTX:
+            # long contexts: the flash kernel reads the pool ONCE
+            # in-kernel with no views -- the dense path's XLA program
+            # drowns in pool layout/slice machinery at these sizes
+            # (engine A/B at prompt~bucket: flash 524 vs dense 476 tok/s
+            # at ctx2048, 267 vs 251 at 4096;
+            # bench_engine_ab_1b_w4a8_long*_r4 artifacts)
+            impl = "flash"
         elif quantized:
             impl = "dense" if dense_bytes <= DENSE_CTX_BYTES else "flash"
         else:
