@@ -355,6 +355,16 @@ def main():
               "bench_engine_ab_1b_w4a8_kvq_ctx2048_r3.json")),
             ("engine_1b_ctx4096",
              ("bench_engine_ab_1b_w4a8_ctx4096_r4.json",)),
+            # TRUE long-context points (prompt ~= bucket; the plain
+            # ctx-N rows decode at seq <= 192 whatever the bucket is)
+            ("engine_1b_long2048",
+             ("bench_engine_ab_1b_w4a8_long2048_flash_r4.json",
+              "bench_engine_ab_1b_w4a8_long2048_r4b.json")),
+            ("engine_1b_long4096",
+             ("bench_engine_ab_1b_w4a8_long4096_r4b.json",
+              "bench_engine_ab_1b_w4a8_long4096_flash_r4.json")),
+            ("engine_1b_long4096_kvq",
+             ("bench_engine_ab_1b_w4a8_kvq_long4096_r4b.json",)),
             ("engine_1b_kvcap_ctx2048",
              ("bench_engine_ab_1b_kvcap_ctx2048_r4.json",)),
             ("engine_1bmoe", ("bench_engine_ab_1bmoe_w4a8_r4.json",
