@@ -564,16 +564,21 @@ def contig_attention(q: jax.Array, k_pages, v_pages,
             # CI mirror of paged_attention: quantized pools take the
             # dense path, unquantized keep the kernel interpret-covered
             impl = "dense" if quantized else "flash"
+        elif quantized:
+            # int8 pools: the folded-scale dense path wins at EVERY
+            # measured context (the in-kernel dequant makes the flash-q
+            # kernel 0.6x at long ctx: 167 vs dense 254 tok/s at 4096,
+            # bench_engine_ab_1b_w4a8_kvq_long4096_* artifacts); flash
+            # only above the view-capacity bound
+            impl = "dense" if dense_bytes <= DENSE_CTX_BYTES else "flash"
         elif ctx_bucket >= CONTIG_FLASH_MIN_CTX:
-            # long contexts: the flash kernel reads the pool ONCE
-            # in-kernel with no views -- the dense path's XLA program
-            # drowns in pool layout/slice machinery at these sizes
-            # (engine A/B at prompt~bucket: flash 524 vs dense 476 tok/s
-            # at ctx2048, 267 vs 251 at 4096;
+            # bf16 pools at long contexts: the flash kernel reads the
+            # pool ONCE in-kernel with no views -- the dense path's XLA
+            # program drowns in pool layout/slice machinery at these
+            # sizes (engine A/B at prompt~bucket: flash 524 vs dense 476
+            # tok/s at ctx2048, 277 vs 251 at 4096;
             # bench_engine_ab_1b_w4a8_long*_r4 artifacts)
             impl = "flash"
-        elif quantized:
-            impl = "dense" if dense_bytes <= DENSE_CTX_BYTES else "flash"
         else:
             impl = "dense"
     if impl == "dense":

@@ -110,7 +110,7 @@ def main():
     p.add_argument("--size", default="1b", choices=sorted(SIZES))
     p.add_argument("--fmt", default="int4",
                    choices=["int4", "int4p", "int8", "int8p", "any4",
-                            "any4t", "nf4", "w4a8", "w8a8"])
+                            "any4t", "any4q8", "nf4", "w4a8", "w8a8"])
     p.add_argument("--batch", type=int, default=1)
     p.add_argument("--prompt-len", type=int, default=128)
     p.add_argument("--new-tokens", type=int, default=32)
@@ -158,7 +158,7 @@ def main():
 
     t0 = time.time()
     kw = dict(kmeans_iters=args.kmeans_iters) \
-        if args.fmt in ("any4", "any4t") else {}
+        if args.fmt in ("any4", "any4t", "any4q8") else {}
     qp = api.quantize_model(params, fmt=args.fmt,
                             group_size=args.group_size,
                             quantize_embeddings=args.quantize_embeddings,
