@@ -66,11 +66,16 @@ def init_params(cfg: MixtralConfig, key: jax.Array) -> Dict:
     return params
 
 
-# below this many tokens the routed expert set is sparse (T*top_k <<
-# E on average) and the per-expert lax.cond skip pays off; above it the
-# cond predicates are ~always true and the branch machinery is pure
-# overhead over the dense combine
-SPARSE_DISPATCH_MAX_TOKENS = 32
+# sparse (lax.cond-skip) dispatch pays only when most experts are
+# expected UNROUTED: with T tokens and top-k routing over E experts the
+# expected hit fraction is 1-(1-1/E)^(T*k); the engine profile measured
+# each cond's branch machinery at ~9.4 us/step (benchmarks/
+# profile_engine_1b-moe_w4a8.json: ~350 us/step of cond overhead at 8
+# slots where ~88% of experts are hit anyway -- pure loss). Dispatch
+# sparse only while T*k <= E/2 (expected hits < ~40%); a batched decode
+# engine at 8 slots runs dense.
+def _sparse_pays(tokens: int, top_k: int, n_experts: int) -> bool:
+    return tokens * top_k <= max(n_experts // 2, 1)
 
 
 def moe_ffn(layer: Dict, cfg: MixtralConfig, x: jax.Array,
@@ -91,7 +96,9 @@ def moe_ffn(layer: Dict, cfg: MixtralConfig, x: jax.Array,
       (VERDICT r2 weak #6). Numerics are IDENTICAL to dense: the taken
       branch computes exactly the dense expression, the untaken branch
       contributes the same zeros the dense path multiplies in.
-    - ``"auto"``: sparse below :data:`SPARSE_DISPATCH_MAX_TOKENS` tokens.
+    - ``"auto"``: sparse only while :func:`_sparse_pays` (expected
+      routed-expert fraction < ~40%; measured cond overhead otherwise
+      outweighs the skipped experts).
 
     Under tensor parallelism the router (and x) are replicated, each
     expert's w1/w3 are column-parallel and w2 row-parallel on the FFN dim,
@@ -106,7 +113,8 @@ def moe_ffn(layer: Dict, cfg: MixtralConfig, x: jax.Array,
     gate = jax.nn.softmax(topv, axis=-1)                   # [b, t, k]
 
     if dispatch == "auto":
-        dispatch = ("sparse" if b * t <= SPARSE_DISPATCH_MAX_TOKENS
+        dispatch = ("sparse" if _sparse_pays(b * t, cfg.num_experts_per_tok,
+                                             cfg.num_local_experts)
                     else "dense")
     if capture is not None:  # shared w1/w3 input (AWQ calibration)
         llama._capture(capture, f"{prefix}moe", x)

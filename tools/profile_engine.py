@@ -17,12 +17,14 @@ import jax
 import numpy as np
 
 from tools.bench_decode import SIZES
+from tools.bench_engine_ab import MOE_SIZES
 from tools.profile_kernels import device_op_times
 
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--size", default="1b", choices=sorted(SIZES))
+    p.add_argument("--size", default="1b",
+                   choices=sorted(SIZES) + sorted(MOE_SIZES))
     p.add_argument("--fmt", default="int4p")
     p.add_argument("--slots", type=int, default=8)
     p.add_argument("--ctx", type=int, default=512)
@@ -40,8 +42,13 @@ def main():
     from any4_tpu.quant import api
     from any4_tpu.serving import engine as eng
 
-    cfg = llama.LlamaConfig(**SIZES[args.size])
-    params = llama.init_params(cfg, jax.random.PRNGKey(0))
+    if args.size in MOE_SIZES:
+        from any4_tpu.models import mixtral
+        cfg = mixtral.MixtralConfig(**MOE_SIZES[args.size])
+        params = mixtral.init_params(cfg, jax.random.PRNGKey(0))
+    else:
+        cfg = llama.LlamaConfig(**SIZES[args.size])
+        params = llama.init_params(cfg, jax.random.PRNGKey(0))
     if args.fmt != "bf16":
         params = api.quantize_model(
             params, fmt=args.fmt,
