@@ -58,6 +58,42 @@ def _concat(parts):
     return jnp.concatenate(parts, axis=0)
 
 
+def stack_experts(params: Dict) -> Dict:
+    """Stack every MoE layer's experts into TWO dense weights so the
+    whole routed FFN runs as two GEMVs per layer.
+
+    ``moe_w13 = concat_e([w1_e; w3_e])  [E*2f, d]`` (output-dim stack)
+    ``moe_w2  = concat_e(w2_e, axis=k)  [d, E*f]`` (input-dim stack)
+
+    The routed combine ``y = sum_e gate_e * (h_e @ w2_e^T)`` is linear in
+    the experts, so gating folds into the ``moe_w2`` input segments and
+    the sum IS the single stacked matmul -- numerics identical to the
+    dense dispatch up to f32 accumulation order. At serving batch sizes
+    most experts are routed anyway (8 slots x top-2 over 8 experts hits
+    ~88%), so the dense-all-experts compute costs the same weight reads
+    while 2 launches replace 16 + per-expert branch machinery
+    (benchmarks/profile_engine_1b-moe_w4a8.json: ~9.4 us/step per
+    lax.cond). Apply BEFORE quantization: group boundaries (128) align
+    with the per-expert segments (f % 128 == 0), so uniform formats
+    quantize identically to per-expert; any4's per-row w2 LUTs then span
+    experts (one codebook per output row across all segments) -- a
+    slightly different accuracy point, covered by tests.
+    """
+    from ..quant.api import _copy_tree
+    out = _copy_tree(params)
+    for layer in out.get("layers", []):
+        experts = layer.pop("experts", None)
+        if not experts:
+            continue
+        w13 = [jnp.concatenate([e["w13"]], axis=0) if "w13" in e else
+               jnp.concatenate([e["w1"], e["w3"]], axis=0)
+               for e in experts]
+        layer["moe_w13"] = jnp.concatenate(w13, axis=0)
+        layer["moe_w2"] = jnp.concatenate([e["w2"] for e in experts],
+                                          axis=1)
+    return out
+
+
 def fuse_projections(params: Dict) -> Dict:
     """Return a new param tree with q/k/v -> qkv_proj and gate/up ->
     gateup_proj fused (llama-family layers only; layers without those keys

@@ -19,7 +19,8 @@ from . import llama
 def _model_forward(params):
     """llama.forward, or mixtral.forward when the param tree carries MoE
     expert layers (key presence is static under jit)."""
-    if params["layers"] and "experts" in params["layers"][0]:
+    if params["layers"] and ("experts" in params["layers"][0]
+                             or "moe_w13" in params["layers"][0]):
         from . import mixtral
         return mixtral.forward
     return llama.forward

@@ -112,6 +112,23 @@ def moe_ffn(layer: Dict, cfg: MixtralConfig, x: jax.Array,
                                cfg.num_experts_per_tok)
     gate = jax.nn.softmax(topv, axis=-1)                   # [b, t, k]
 
+    if "moe_w13" in layer:  # stacked experts (models/fuse.stack_experts)
+        E = cfg.num_local_experts
+        gu = lin.linear(x, layer["moe_w13"], **kw)         # [b, t, E*2f]
+        f = gu.shape[-1] // (2 * E)
+        gu = gu.reshape(b, t, E, 2, f).astype(jnp.float32)
+        h = jax.nn.silu(gu[..., 0, :]).astype(x.dtype) * \
+            gu[..., 1, :].astype(x.dtype)                  # [b, t, E, f]
+        # routing weight per expert folds into the w2 input segments
+        wts = jnp.sum(
+            jax.nn.one_hot(topi, E, dtype=jnp.float32) * gate[..., None],
+            axis=-2)                                       # [b, t, E]
+        hw = (h.astype(jnp.float32) * wts[..., None]).astype(x.dtype)
+        y = lin.linear(hw.reshape(b, t, E * f), layer["moe_w2"], **kw)
+        if psum_axis is not None:
+            y = jax.lax.psum(y, psum_axis)
+        return y.astype(x.dtype)
+
     if dispatch == "auto":
         dispatch = ("sparse" if _sparse_pays(b * t, cfg.num_experts_per_tok,
                                              cfg.num_local_experts)

@@ -30,7 +30,7 @@ DEFAULT_LINEAR_KEYS = (
     "gate_proj", "up_proj", "down_proj",
     "qkv_proj", "gateup_proj",
     "fc1", "fc2", "out_proj", "lm_head",
-    "w1", "w2", "w3", "w13", "wq", "wk", "wv", "wo",
+    "w1", "w2", "w3", "w13", "moe_w13", "moe_w2", "wq", "wk", "wv", "wo",
 )
 DEFAULT_SKIP = ("lm_head",)  # reference skips the LM head by default
 

@@ -47,7 +47,8 @@ class Request:
 def _model_forward(params):
     """llama.forward, or mixtral.forward when the param tree carries MoE
     expert layers (key presence is static under jit)."""
-    if params["layers"] and "experts" in params["layers"][0]:
+    if params["layers"] and ("experts" in params["layers"][0]
+                             or "moe_w13" in params["layers"][0]):
         from ..models import mixtral
         return mixtral.forward
     return llama.forward
@@ -55,7 +56,7 @@ def _model_forward(params):
 
 def _ffn(layer, cfg, h, psum_axis=None):
     """Dense MLP or routed MoE FFN for one decode-step layer."""
-    if "experts" in layer:
+    if "experts" in layer or "moe_w13" in layer:
         from ..models import mixtral
         return mixtral.moe_ffn(layer, cfg, h, psum_axis=psum_axis)
     return llama.mlp(layer, h, psum_axis=psum_axis,

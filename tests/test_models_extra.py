@@ -224,3 +224,81 @@ class TestMixtralExpertFusion:
         np.testing.assert_allclose(np.asarray(out, np.float32),
                                    np.asarray(base, np.float32),
                                    atol=3e-2, rtol=3e-2)
+
+
+class TestStackedExperts:
+    """stack_experts: the whole routed FFN as TWO stacked GEMVs per layer
+    (models/fuse.stack_experts) -- numerics identical to the dense
+    combine up to f32 accumulation order."""
+
+    @pytest.fixture(scope="class")
+    def tiny(self):
+        cfg = mixtral.MixtralConfig.tiny(vocab=256, layers=2)
+        params = mixtral.init_params(cfg, jax.random.PRNGKey(8))
+        return cfg, params
+
+    def test_stacked_matches_dense(self, tiny):
+        from any4_tpu.models import fuse
+        cfg, params = tiny
+        ids = jax.random.randint(jax.random.PRNGKey(9), (2, 6), 0,
+                                 cfg.vocab_size)
+        base, _ = mixtral.forward(params, cfg, ids)
+        st = fuse.stack_experts(params)
+        layer = st["layers"][0]
+        assert "moe_w13" in layer and "experts" not in layer
+        f, d, E = (cfg.intermediate_size, cfg.hidden_size,
+                   cfg.num_local_experts)
+        assert layer["moe_w13"].shape == (E * 2 * f, d)
+        assert layer["moe_w2"].shape == (d, E * f)
+        out, _ = mixtral.forward(st, cfg, ids)
+        np.testing.assert_allclose(np.asarray(out, np.float32),
+                                   np.asarray(base, np.float32),
+                                   atol=2e-2, rtol=2e-2)
+
+    def test_stacked_after_w13_fusion(self, tiny):
+        from any4_tpu.models import fuse
+        cfg, params = tiny
+        ids = jax.random.randint(jax.random.PRNGKey(10), (1, 5), 0,
+                                 cfg.vocab_size)
+        base, _ = mixtral.forward(params, cfg, ids)
+        st = fuse.stack_experts(fuse.fuse_projections(params))
+        out, _ = mixtral.forward(st, cfg, ids)
+        # the stacked matmuls re-order the bf16 accumulation across
+        # expert segments; the error compounds over layers
+        np.testing.assert_allclose(np.asarray(out, np.float32),
+                                   np.asarray(base, np.float32),
+                                   atol=5e-2, rtol=5e-2)
+
+    def test_stacked_quantized_runs_and_is_close(self, tiny):
+        from any4_tpu.models import fuse
+        cfg, params = tiny
+        st = fuse.stack_experts(params)
+        qp = api.quantize_model(st, fmt="int8", group_size=32)
+        assert isinstance(qp["layers"][0]["moe_w13"], lin.QuantizedTensor)
+        ids = jax.random.randint(jax.random.PRNGKey(11), (1, 5), 0,
+                                 cfg.vocab_size)
+        base, _ = mixtral.forward(st, cfg, ids)
+        out, _ = mixtral.forward(qp, cfg, ids)
+        np.testing.assert_allclose(np.asarray(out, np.float32),
+                                   np.asarray(base, np.float32),
+                                   atol=0.15, rtol=0.15)
+
+    def test_stacked_engine_matches_generate(self, tiny):
+        from any4_tpu.models import fuse, generate
+        from any4_tpu.serving import engine as eng
+        cfg, params = tiny
+        st = fuse.stack_experts(params)
+        rng = np.random.RandomState(5)
+        prompts = [rng.randint(0, cfg.vocab_size, size=n).astype(np.int32)
+                   for n in (4, 7)]
+        refs = [np.asarray(generate.generate(
+            st, cfg, jnp.asarray(p[None]), max_new_tokens=6)[0, len(p):])
+            for p in prompts]
+        e = eng.Engine(st, cfg, max_slots=2, max_ctx=64, page_size=8,
+                       kv_layout="contig")
+        uids = [e.submit(p, max_new_tokens=6) for p in prompts]
+        done = e.run(burst=4)
+        by_uid = {r.uid: r for r in done}
+        for uid, ref in zip(uids, refs):
+            np.testing.assert_array_equal(
+                np.asarray(by_uid[uid].out_tokens), ref)

@@ -80,6 +80,10 @@ def main():
     p.add_argument("--fuse", action="store_true",
                    help="fuse qkv/gateup (and per-expert w1/w3 -> w13) in "
                         "BOTH arms before building engines")
+    p.add_argument("--stack-experts", action="store_true",
+                   help="stack all experts into two GEMVs per layer "
+                        "(fuse.stack_experts, applied pre-quantization "
+                        "to BOTH arms)")
     p.add_argument("--out", default=None, help="also write JSON here")
     p.add_argument("--cpu", action="store_true")
     args = p.parse_args()
@@ -100,6 +104,9 @@ def main():
     kw = dict(kmeans_iters=4) if args.fmt == "any4" else {}
     if args.quantize_embeddings:
         kw["quantize_embeddings"] = args.quantize_embeddings
+    if args.stack_experts:
+        from any4_tpu.models import fuse
+        params = fuse.stack_experts(params)
     t0 = time.time()
     qparams = api.quant_methods[args.fmt](
         params, group_size=args.group_size, **kw)
@@ -160,7 +167,7 @@ def main():
            "pipeline_depth": args.pipeline_depth,
            "requests": args.requests,
            "new_tokens": args.new_tokens,
-           "ab_mode": args.ab_mode,
+           "ab_mode": args.ab_mode, "stack_experts": args.stack_experts,
            "rounds": rounds,
            "bf16_tok_s": best[arm_a], "tok_s": best[arm_b],
            "speedup": round(best[arm_b] / best[arm_a], 3)}
