@@ -367,7 +367,8 @@ def main():
              ("bench_engine_ab_1b_w4a8_kvq_long4096_r4b.json",)),
             ("engine_1b_kvcap_ctx2048",
              ("bench_engine_ab_1b_kvcap_ctx2048_r4.json",)),
-            ("engine_1bmoe", ("bench_engine_ab_1bmoe_w4a8_r4.json",
+            ("engine_1bmoe", ("bench_engine_ab_1bmoe_w4a8_depth4_r4.json",
+                              "bench_engine_ab_1bmoe_w4a8_r4.json",
                               "bench_engine_ab_1bmoe_w4a8_r3.json"))):
         for fname in fnames:
             try:
