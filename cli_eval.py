@@ -48,8 +48,8 @@ def main(argv=None):
     p.add_argument("--save-quantized", help="save quantized params to dir")
     p.add_argument("--quantize", default=None,
                    choices=[None, "int4", "int4p", "int8", "int8p", "w4a8",
-                            "w8a8", "any4", "nf4", "fp4", "mx4", "intq",
-                            "anyq"])
+                            "w8a8", "any4", "any4t", "any4q8", "nf4",
+                            "fp4", "mx4", "intq", "anyq"])
     p.add_argument("--quantize-args", default="",
                    help="k=v,... forwarded to the quantizer")
     p.add_argument("--pseudo", action="store_true",

@@ -20,7 +20,8 @@ def main(argv=None):
     p.add_argument("--tiny", action="store_true")
     p.add_argument("--fmt", default="any4",
                    choices=["int4", "int4p", "int8", "int8p", "w4a8",
-                            "w8a8", "any4", "nf4", "fp4", "mx4"])
+                            "w8a8", "any4", "any4t", "any4q8", "nf4",
+                            "fp4", "mx4"])
     p.add_argument("--group-size", type=int, default=128)
     p.add_argument("--kmeans-iters", type=int, default=30)
     p.add_argument("--calibrate", action="store_true")
