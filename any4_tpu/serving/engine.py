@@ -345,9 +345,10 @@ class Engine:
         cfg_local = tpmod.local_config(self.cfg, tp_size)
         n_layers = self.cfg.num_hidden_layers
         arr_spec = P("tp", None, None, None)
-        # quantized pools are (int8 pages, scales) pairs; both shard over
-        # the kv-head axis
-        page_spec = (arr_spec, arr_spec) if kv_quantize else arr_spec
+        # quantized pools are (int8 pages, scales [h, P, ps]) pairs; both
+        # shard over the kv-head axis
+        page_spec = ((arr_spec, P("tp", None, None)) if kv_quantize
+                     else arr_spec)
         pages_spec = [page_spec for _ in range(n_layers)]
         ps = self.page_size
 

@@ -51,9 +51,14 @@ class PagedKVCache:
         hd = cfg.head_dim_
         shape = (cfg.num_key_value_heads, num_pages, page_size, hd)
         if quantize:
+            # scales are 3-D [h, P, ps] -- a trailing dim of 1 would be
+            # lane-padded to 128 by XLA, making the f32 scale pool 4x the
+            # HBM of the int8 CODE pool it serves (measured: the 4-D
+            # scale pool alone erased int8 KV's bandwidth win,
+            # PERF_NOTES round 4 kvq addendum)
             def mk():
                 return (jnp.zeros(shape, jnp.int8),
-                        jnp.ones(shape[:-1] + (1,), jnp.float32))
+                        jnp.ones(shape[:-1], jnp.float32))
             return cls([mk() for _ in range(cfg.num_hidden_layers)],
                        [mk() for _ in range(cfg.num_hidden_layers)],
                        page_size, True)
@@ -125,7 +130,7 @@ def write_tokens(pages, kv: jax.Array, page_ids: jax.Array,
                  offsets: jax.Array):
     """Scatter per-slot new tokens into the page pool.
 
-    pages: [h, P, ps, d] (or an (int8 pages, scales [h, P, ps, 1]) pair for
+    pages: [h, P, ps, d] (or an (int8 pages, scales [h, P, ps]) pair for
     a quantized pool); kv: [b, t, h, d] new values; page_ids/offsets:
     [b, t] physical page and in-page offset per token (garbage entries
     should point at page 0, the reserved scratch sink, so inactive slots
@@ -141,8 +146,8 @@ def write_tokens(pages, kv: jax.Array, page_ids: jax.Array,
         amax = jnp.maximum(amax, 1e-6)
         q = qu.to_int8(kv.astype(jnp.float32), amax)
         qpages = write_tokens(qpages, q, page_ids, offsets)
-        scales = write_tokens(scales, amax.astype(jnp.float32),
-                              page_ids, offsets)
+        scales = _write_scales(scales, amax[..., 0].astype(jnp.float32),
+                               page_ids, offsets)
         return (qpages, scales)
     b, t, h, d = kv.shape
     if t == 1 and b <= 16:
@@ -169,6 +174,24 @@ def write_tokens(pages, kv: jax.Array, page_ids: jax.Array,
     return flat.reshape(pages.shape)
 
 
+def _write_scales(scales, amax: jax.Array, page_ids: jax.Array,
+                  offsets: jax.Array):
+    """Scatter per-token dequant scales into the 3-D ``[h, P, ps]`` scale
+    pool (mirrors :func:`write_tokens`'s decode dus / prefill scatter
+    split). amax: ``[b, t, h]``."""
+    b, t, h = amax.shape
+    flat = scales.reshape(h, -1)                    # [h, P*ps]
+    pos = page_ids * scales.shape[2] + offsets      # [b, t]
+    if t == 1 and b <= 16:
+        for i in range(b):
+            flat = jax.lax.dynamic_update_slice(
+                flat, amax[i, 0][:, None], (0, pos[i, 0]))
+        return flat.reshape(scales.shape)
+    flat = flat.at[:, pos.reshape(-1)].set(
+        amax.transpose(2, 0, 1).reshape(h, b * t))
+    return flat.reshape(scales.shape)
+
+
 def gather_ctx_hmajor(pages, table: jax.Array) -> jax.Array:
     """Gather a dense [h, b, max_ctx, d] context view from the page pool
     in the gather's NATIVE dimension order -- no transpose, so XLA keeps
@@ -180,15 +203,24 @@ def gather_ctx_hmajor(pages, table: jax.Array) -> jax.Array:
             quantization_utils as qu)
         qpages, scales = pages
         g = gather_ctx_hmajor(qpages, table).astype(jnp.float32)
-        sc = gather_ctx_hmajor(scales, table)
+        sc = gather_scales_hmajor(scales, table)
         # bf16 view: the KV numbers are already int8-quantized, so bf16
         # rounding is noise -- and the materialized dense view is the
         # dominant HBM traffic of the dense path (f32 doubled it)
-        return qu.from_int8(g, sc, dtype=jnp.bfloat16)
+        return qu.from_int8(g, sc[..., None], dtype=jnp.bfloat16)
     h, P, ps, d = pages.shape
     b, pps = table.shape
     g = pages[:, table.reshape(-1)]                 # [h, b*pps, ps, d]
     return g.reshape(h, b, pps * ps, d)
+
+
+def gather_scales_hmajor(scales, table: jax.Array) -> jax.Array:
+    """[h, b, max_ctx] view of the 3-D [h, P, ps] scale pool (the scale
+    analog of :func:`gather_ctx_hmajor`)."""
+    h, P, ps = scales.shape
+    b, pps = table.shape
+    g = scales[:, table.reshape(-1)]                # [h, b*pps, ps]
+    return g.reshape(h, b, pps * ps)
 
 
 def gather_ctx(pages, table: jax.Array) -> jax.Array:
@@ -201,17 +233,20 @@ def gather_ctx(pages, table: jax.Array) -> jax.Array:
 def _flash_decode_kernel_q(seq_ref, tbl_ref, q_ref, k_ref, ks_ref, v_ref,
                            vs_ref, o_ref, m_ref, l_ref, acc_ref, *,
                            ps: int, scale: float):
-    """Quantized-pool variant: int8 pages + per-token scales [.., ps, 1]
-    dequantized in-kernel before the flash update. The pools are written
-    with ``quantization_utils.to_int8`` (code = rint(x * 127.5/amax),
+    """Quantized-pool variant: int8 pages + per-token scales [1, 1, ps]
+    blocks of the 3-D scale pool. The pools are written with
+    ``quantization_utils.to_int8`` (code = rint(x * 127.5/amax),
     scales = amax), so the inverse is ``code * amax / 127.5`` -- a plain
     ``code * amax`` is 127.5x off (caught by
-    test_contig_attention_quantized_pool_impls_agree)."""
+    test_contig_attention_quantized_pool_impls_agree). Scales fold into
+    the logits/probs (O(rep*ps)) instead of scaling the page (O(ps*d));
+    linearity makes them identical."""
     _flash_decode_step(
         seq_ref, tbl_ref, q_ref,
-        k_ref[0, 0].astype(jnp.float32) * (ks_ref[0, 0] * _INV_MAX_INT8),
-        v_ref[0, 0].astype(jnp.float32) * (vs_ref[0, 0] * _INV_MAX_INT8),
-        o_ref, m_ref, l_ref, acc_ref, ps=ps, scale=scale)
+        k_ref[0, 0].astype(jnp.float32),
+        v_ref[0, 0].astype(jnp.float32),
+        o_ref, m_ref, l_ref, acc_ref, ps=ps, scale=scale,
+        ks_sc=ks_ref[0], vs_sc=vs_ref[0])
 
 
 def _flash_decode_kernel(seq_ref, tbl_ref, q_ref, k_ref, v_ref, o_ref,
@@ -223,7 +258,8 @@ def _flash_decode_kernel(seq_ref, tbl_ref, q_ref, k_ref, v_ref, o_ref,
 
 
 def _flash_decode_step(seq_ref, tbl_ref, q_ref, k, v, o_ref,
-                       m_ref, l_ref, acc_ref, *, ps: int, scale: float):
+                       m_ref, l_ref, acc_ref, *, ps: int, scale: float,
+                       ks_sc=None, vs_sc=None):
     """Flash decode attention over paged KV for ONE (batch, kv-head) pair,
     one physical page per grid step (page ids arrive via scalar prefetch).
 
@@ -249,6 +285,8 @@ def _flash_decode_step(seq_ref, tbl_ref, q_ref, k, v, o_ref,
         q = jnp.pad(q, ((0, R8 - rep), (0, 0)))
     s = jax.lax.dot_general(q * scale, k, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32)  # [R8, ps]
+    if ks_sc is not None:
+        s = s * (ks_sc * _INV_MAX_INT8)       # [1, ps] broadcast
     pos = i * ps + jax.lax.broadcasted_iota(jnp.int32, (1, ps), 1)
     s = jnp.where(pos < seq_ref[b_], s, -1e30)
 
@@ -258,6 +296,8 @@ def _flash_decode_step(seq_ref, tbl_ref, q_ref, k, v, o_ref,
     p = jnp.exp(s - m_new)                       # [R8, ps]
     alpha = jnp.exp(m_prev - m_new)              # [R8, 1]
     l_new = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+    if vs_sc is not None:
+        p = p * (vs_sc * _INV_MAX_INT8)       # after l_new: denominator
     pv = jax.lax.dot_general(
         p, v, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)      # [R8, hd]
@@ -294,10 +334,9 @@ def flash_paged_decode(q: jax.Array, k_pages: jax.Array, v_pages: jax.Array,
 
     page_spec = pl.BlockSpec(
         (1, 1, ps, d), lambda b_, h_, i, seq, tbl: (h_, tbl[b_, i], 0, 0))
-    # scales keep their [h, P, ps, 1] shape: block (1,1,ps,1) satisfies
-    # Mosaic's tiling rule (ps % 8 == 0, trailing dim equals the array's)
+    # scales are 3-D [h, P, ps] (see KVCache.create); block (1, 1, ps)
     sc_spec = pl.BlockSpec(
-        (1, 1, ps, 1), lambda b_, h_, i, seq, tbl: (h_, tbl[b_, i], 0, 0))
+        (1, 1, ps), lambda b_, h_, i, seq, tbl: (h_, tbl[b_, i], 0))
     if quantized:
         assert ps % 8 == 0, \
             "quantized paged flash needs page_size % 8 == 0"
@@ -338,7 +377,8 @@ def flash_paged_decode(q: jax.Array, k_pages: jax.Array, v_pages: jax.Array,
 
 
 def _contig_step(seq_ref, q_ref, ks, vs, o_ref, m_ref, l_ref, acc_ref,
-                 *, kb: int, scale: float, h: int):
+                 *, kb: int, scale: float, h: int,
+                 ks_sc=None, vs_sc=None):
     """Flash update for ONE (batch, ctx-block) grid step covering ALL kv
     heads: the per-head work at decode shapes is tiny (a [rep, d] x
     [d, kb] dot pair), so putting heads on the grid made the kernel
@@ -364,10 +404,22 @@ def _contig_step(seq_ref, q_ref, ks, vs, o_ref, m_ref, l_ref, acc_ref,
         q = q_ref[0, hh].astype(jnp.float32)          # [rep, d]
         if rep < R8:
             q = jnp.pad(q, ((0, R8 - rep), (0, 0)))
-        k = ks[hh]                                    # [kb, d] f32
+        # dots run in the POOL's dtype (bf16 pools -> native-rate MXU;
+        # f32 test pools -> exact) with f32 accumulation -- matching the
+        # dense paths' bf16-einsum precision. An unconditional f32 dot
+        # ran the MXU at its 1/8 f32 rate and left the kernel
+        # MXU-pass-bound at decode shapes (round-3 note in
+        # contig_attention's docstring).
+        k = ks[hh]                                    # [kb, d]
         v = vs[hh]
-        s = jax.lax.dot_general(q * scale, k, (((1,), (1,)), ((), ())),
+        s = jax.lax.dot_general((q * scale).astype(k.dtype), k,
+                                (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
+        if ks_sc is not None:
+            # int8 pools: fold the per-token K scale into the LOGITS
+            # ([R8, kb] work) instead of scaling the code block
+            # ([kb, d] work) -- linearity makes them identical
+            s = s * (ks_sc[hh] * _INV_MAX_INT8)[None, :]
         s = jnp.where(live, s, -1e30)                 # [R8, kb]
         lo = hh * R8
         m_prev = m_ref[lo:lo + R8, 0:1]
@@ -376,7 +428,12 @@ def _contig_step(seq_ref, q_ref, ks, vs, o_ref, m_ref, l_ref, acc_ref,
         p = jnp.exp(s - m_new)
         alpha = jnp.exp(m_prev - m_new)
         l_new = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
-        pv = jax.lax.dot_general(p, v, (((1,), (0,)), ((), ())),
+        if vs_sc is not None:
+            # per-token V scale folded into the PROBS (sum for l_new
+            # above stays unscaled -- it is the softmax denominator)
+            p = p * (vs_sc[hh] * _INV_MAX_INT8)[None, :]
+        pv = jax.lax.dot_general(p.astype(v.dtype), v,
+                                 (((1,), (0,)), ((), ())),
                                  preferred_element_type=jnp.float32)
         if d < DP:
             pv = jnp.pad(pv, ((0, 0), (0, DP - d)))
@@ -397,8 +454,9 @@ def _contig_step(seq_ref, q_ref, ks, vs, o_ref, m_ref, l_ref, acc_ref,
 def _flash_contig_kernel(seq_ref, q_ref, k_ref, v_ref, o_ref,
                          m_ref, l_ref, acc_ref, *, kb: int, scale: float,
                          h: int):
-    _contig_step(seq_ref, q_ref, k_ref[:].astype(jnp.float32),
-                 v_ref[:].astype(jnp.float32), o_ref, m_ref, l_ref,
+    # no dtype cast: the dots run in the pool's own dtype (see
+    # _contig_step) -- bf16 pools hit the MXU's native rate
+    _contig_step(seq_ref, q_ref, k_ref[:], v_ref[:], o_ref, m_ref, l_ref,
                  acc_ref, kb=kb, scale=scale, h=h)
 
 
@@ -406,11 +464,19 @@ def _flash_contig_kernel_q(seq_ref, q_ref, k_ref, ks_ref, v_ref, vs_ref,
                            o_ref, m_ref, l_ref, acc_ref, *, kb: int,
                            scale: float, h: int):
     """Quantized contiguous variant: int8 KV + per-token scales (see
-    _flash_decode_kernel_q for the to_int8-inverse scaling)."""
+    _flash_decode_kernel_q for the to_int8-inverse scaling).
+
+    Scales arrive as 2-D ``[h, kb]`` blocks -- a ``[h, kb, 1]`` block
+    would lane-pad the trailing 1 to 128 and stage 128x the scale bytes
+    (measured: the pre-fix kernel ran 0.6x the DENSE q8 path at ctx 4096,
+    bench_engine_ab_1b_w4a8_kvq_long4096_r4b). The scales are folded
+    into logits/probs inside :func:`_contig_step` (O(rep*kb) VPU work)
+    instead of scaling the code blocks (O(kb*d))."""
     _contig_step(seq_ref, q_ref,
-                 k_ref[:].astype(jnp.float32) * (ks_ref[:] * _INV_MAX_INT8),
-                 v_ref[:].astype(jnp.float32) * (vs_ref[:] * _INV_MAX_INT8),
-                 o_ref, m_ref, l_ref, acc_ref, kb=kb, scale=scale, h=h)
+                 k_ref[:].astype(jnp.bfloat16),
+                 v_ref[:].astype(jnp.bfloat16),
+                 o_ref, m_ref, l_ref, acc_ref, kb=kb, scale=scale, h=h,
+                 ks_sc=ks_ref[:], vs_sc=vs_ref[:])
 
 
 # tokens per contiguous flash compute block: the multi-page compute block
@@ -431,7 +497,7 @@ def flash_contig_decode(q: jax.Array, k_pool, v_pool, seq_lens: jax.Array,
     """Flash decode attention over a CONTIGUOUS-slot KV pool.
 
     ``k_pool/v_pool``: ``[h, slots * max_ctx, d]`` (or (int8 pool,
-    scales [h, slots*max_ctx, 1]) pairs) where slot ``b`` owns positions
+    scales [h, slots*max_ctx]) pairs) where slot ``b`` owns positions
     ``[b*max_ctx, b*max_ctx + ctx)`` -- the engine's contiguous layout
     (the page pool reshaped; each slot's pages are preassigned in order,
     so the region IS contiguous). Only the first ``ctx_bucket`` positions
@@ -464,13 +530,16 @@ def flash_contig_decode(q: jax.Array, k_pool, v_pool, seq_lens: jax.Array,
 
     kv_spec = pl.BlockSpec((h, kb, d),
                            lambda b_, i, seq: (0, b_ * stride + i, 0))
-    sc_spec = pl.BlockSpec((h, kb, 1),
-                           lambda b_, i, seq: (0, b_ * stride + i, 0))
+    # scales as 2-D [h, T] so kb rides the LANE axis; a [h, kb, 1] block
+    # pads the trailing 1 to 128 lanes (128x the scale traffic)
+    sc_spec = pl.BlockSpec((h, kb),
+                           lambda b_, i, seq: (0, b_ * stride + i))
     q_spec = pl.BlockSpec((1, h, rep, d),
                           lambda b_, i, seq: (b_, 0, 0, 0))
     if quantized:
         in_specs = [q_spec, kv_spec, sc_spec, kv_spec, sc_spec]
-        args = (qh, k_pool[0], k_pool[1], v_pool[0], v_pool[1])
+        args = (qh, k_pool[0], k_pool[1].reshape(h, -1),
+                v_pool[0], v_pool[1].reshape(h, -1))
         kern = functools.partial(_flash_contig_kernel_q, kb=kb,
                                  scale=scale, h=h)
     else:
@@ -519,7 +588,10 @@ def _contig_ctx_view(pages, b: int, ctx_bucket: int):
         sc = _contig_ctx_view(pages[1], b, ctx_bucket)
         # bf16 for the same reason as gather_ctx_hmajor: int8 KV numbers
         # lose nothing to bf16, the view's HBM footprint halves
-        return qu.from_int8(g, sc, dtype=jnp.bfloat16)
+        return qu.from_int8(g, sc[..., None], dtype=jnp.bfloat16)
+    if pages.ndim == 3:                              # [h, P, ps] scale pool
+        h = pages.shape[0]
+        return pages.reshape(h, b, -1)[:, :, :ctx_bucket]
     h, P, ps, d = pages.shape
     return pages.reshape(h, b, P * ps // b, d)[:, :, :ctx_bucket]
 
@@ -694,9 +766,9 @@ def _dense_paged_attention(q, k_pages, v_pages, seq_lens, table,
         return _dense_attend_q8(
             q,
             gather_ctx_hmajor(k_pages[0], table),
-            gather_ctx_hmajor(k_pages[1], table),
+            gather_scales_hmajor(k_pages[1], table),
             gather_ctx_hmajor(v_pages[0], table),
-            gather_ctx_hmajor(v_pages[1], table),
+            gather_scales_hmajor(v_pages[1], table),
             seq_lens, scale=scale, softcap=softcap, window=window)
     kctx = gather_ctx_hmajor(k_pages, table)        # [h, b, ctx, d]
     vctx = gather_ctx_hmajor(v_pages, table)
@@ -737,12 +809,12 @@ def _dense_attend_q8(q, kc, ks, vc, vs, seq_lens, scale=None, softcap=None,
                         (qh * scale).astype(jnp.bfloat16),
                         kc.astype(jnp.bfloat16),
                         preferred_element_type=jnp.float32)
-    logits = logits * (ks[..., 0] * _INV_MAX_INT8)[:, :, None, :]
+    logits = logits * (ks * _INV_MAX_INT8)[:, :, None, :]
     if softcap is not None:  # gemma2 attn_logit_softcapping, pre-mask
         logits = softcap * jnp.tanh(logits / softcap)
     mask = _attn_mask(kc.shape[2], seq_lens, window)
     probs = jax.nn.softmax(logits + mask, axis=-1)
-    pv = probs * (vs[..., 0] * _INV_MAX_INT8)[:, :, None, :]
+    pv = probs * (vs * _INV_MAX_INT8)[:, :, None, :]
     out = jnp.einsum("hbrc,hbcd->hbrd", pv.astype(jnp.bfloat16),
                      vc.astype(jnp.bfloat16),
                      preferred_element_type=jnp.float32)

@@ -321,7 +321,7 @@ class TestTPEngineW4A8:
 class TestQuantizedKV:
     def test_int8_kv_write_gather_roundtrip(self):
         pages = (jnp.zeros((2, 4, 8, 4), jnp.int8),
-                 jnp.ones((2, 4, 8, 1), jnp.float32))
+                 jnp.ones((2, 4, 8), jnp.float32))
         kv = jax.random.normal(jax.random.PRNGKey(0), (1, 10, 2, 4))
         pos = np.arange(10)
         table = np.array([2, 3, 0, 0])
@@ -379,8 +379,8 @@ class TestFlashPagedDecodeQuantized:
         rng = np.random.RandomState(1)
         kq = jnp.asarray(rng.randint(-127, 128, (h, P, ps, hd)), jnp.int8)
         vq = jnp.asarray(rng.randint(-127, 128, (h, P, ps, hd)), jnp.int8)
-        ks = jnp.asarray(rng.rand(h, P, ps, 1) * 0.02 + 0.001, jnp.float32)
-        vs = jnp.asarray(rng.rand(h, P, ps, 1) * 0.02 + 0.001, jnp.float32)
+        ks = jnp.asarray(rng.rand(h, P, ps) * 0.02 + 0.001, jnp.float32)
+        vs = jnp.asarray(rng.rand(h, P, ps) * 0.02 + 0.001, jnp.float32)
         q = jnp.asarray(rng.randn(b, nq, hd), jnp.float32)
         table = jnp.asarray([[1, 2, 3, 4], [5, 6, 7, 8]], jnp.int32)
         lens = jnp.asarray([7, 25], jnp.int32)
@@ -390,8 +390,8 @@ class TestFlashPagedDecodeQuantized:
         # scales, so the dequant reference is code * amax / 127.5 (the
         # kernel originally used code * amax -- 127.5x off -- and THIS
         # test pinned that wrong semantic as its reference)
-        kd = kq.astype(jnp.float32) * ks / 127.5
-        vd = vq.astype(jnp.float32) * vs / 127.5
+        kd = kq.astype(jnp.float32) * ks[..., None] / 127.5
+        vd = vq.astype(jnp.float32) * vs[..., None] / 127.5
         ref = kvc.flash_paged_decode(q, kd, vd, lens, table, interpret=True)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    atol=1e-5)
@@ -665,7 +665,7 @@ class TestContigLayout:
                 quantization_utils as qu)
             amax = np.maximum(np.abs(x).max(-1, keepdims=True), 1e-6)
             return (qu.to_int8(jnp.asarray(x), jnp.asarray(amax)),
-                    jnp.asarray(amax, jnp.float32))
+                    jnp.asarray(amax[..., 0], jnp.float32))
 
         k_pages, v_pages = quantize(kf), quantize(vf)
         table = jnp.asarray(np.arange(P, dtype=np.int32).reshape(b, pps)

@@ -70,7 +70,7 @@ def main():
     p.add_argument("--rounds", type=int, default=3,
                    help="alternating timed rounds per config")
     p.add_argument("--ab-mode", default="quant",
-                   choices=["quant", "kvcap"],
+                   choices=["quant", "kvcap", "kvq"],
                    help="quant: bf16 vs quantized weights (default). "
                         "kvcap: BOTH arms quantized weights; arm A keeps "
                         "bf16 KV at --slots, arm B takes int8 KV at 2x "
@@ -128,6 +128,14 @@ def main():
         engines = {arm_a: make_engine(qparams),
                    arm_b: make_engine(qparams, kvq=True,
                                       slots=2 * args.slots)}
+    elif args.ab_mode == "kvq":
+        # isolate the int8-KV throughput tax: BOTH arms quantized
+        # weights at the SAME slot count, arm A bf16 KV, arm B int8 KV
+        # (VERDICT r3 #5 "kvq within 5% of bf16-KV" gate, measured
+        # in-process so the bimodal pool can't skew the comparison)
+        arm_a, arm_b = "bf16kv", f"{args.fmt}+kvq"
+        engines = {arm_a: make_engine(qparams),
+                   arm_b: make_engine(qparams, kvq=True)}
     else:
         arm_a, arm_b = "bf16", args.fmt
         engines = {arm_a: make_engine(params),

@@ -61,12 +61,13 @@ def flash_case(hd, quantized):
                              jnp.int8)
             vq = jnp.asarray(rng.integers(-127, 128, (h, P, ps, hd)),
                              jnp.int8)
-            ks = jnp.asarray(rng.random((h, P, ps, 1)) * 0.02 + 1e-3,
+            ks = jnp.asarray(rng.random((h, P, ps)) * 0.02 + 1e-3,
                              jnp.float32)
-            vs = jnp.asarray(rng.random((h, P, ps, 1)) * 0.02 + 1e-3,
+            vs = jnp.asarray(rng.random((h, P, ps)) * 0.02 + 1e-3,
                              jnp.float32)
             out = kvc.flash_paged_decode(q, (kq, ks), (vq, vs), lens, table)
-            kd, vd = kq.astype(jnp.float32) * ks, vq.astype(jnp.float32) * vs
+            kd = kq.astype(jnp.float32) * ks[..., None]
+            vd = vq.astype(jnp.float32) * vs[..., None]
         else:
             kd = jnp.asarray(rng.standard_normal((h, P, ps, hd)),
                              jnp.float32)
