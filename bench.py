@@ -351,8 +351,13 @@ def main():
              ("bench_engine_ab_1b_w4a8_ctx2048_r4.json",
               "bench_engine_ab_1b_w4a8_ctx2048_r3.json")),
             ("engine_1b_ctx2048_kvq",
-             ("bench_engine_ab_1b_w4a8_kvq_ctx2048_r4.json",
+             ("bench_engine_ab_1b_w4a8_kvq_ctx2048_sc3d_r4.json",
+              "bench_engine_ab_1b_w4a8_kvq_ctx2048_r4.json",
               "bench_engine_ab_1b_w4a8_kvq_ctx2048_r3.json")),
+            # int8-KV tax isolated in-process: BOTH arms w4a8+qemb at the
+            # same slots, bf16 vs int8 KV (ab_mode=kvq)
+            ("engine_1b_kvq_tax_ctx2048",
+             ("bench_engine_ab_1b_kvq_tax_ctx2048_r4.json",)),
             ("engine_1b_ctx4096",
              ("bench_engine_ab_1b_w4a8_ctx4096_r4.json",)),
             # TRUE long-context points (prompt ~= bucket; the plain
@@ -364,7 +369,9 @@ def main():
              ("bench_engine_ab_1b_w4a8_long4096_r4b.json",
               "bench_engine_ab_1b_w4a8_long4096_flash_r4.json")),
             ("engine_1b_long4096_kvq",
-             ("bench_engine_ab_1b_w4a8_kvq_long4096_r4b.json",)),
+             ("bench_engine_ab_1b_w4a8_kvq_long4096_bf16dot_r4.json",
+              "bench_engine_ab_1b_w4a8_kvq_long4096_sc3d_flash_r4.json",
+              "bench_engine_ab_1b_w4a8_kvq_long4096_r4b.json")),
             ("engine_1b_kvcap_ctx2048",
              ("bench_engine_ab_1b_kvcap_ctx2048_r4.json",)),
             ("engine_1bmoe", ("bench_engine_ab_1bmoe_w4a8_depth4_r4.json",
