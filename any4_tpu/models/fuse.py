@@ -30,10 +30,13 @@ def concat_quantized(parts: List[QuantizedTensor]) -> QuantizedTensor:
             "fused projections must share quantization format/group"
         assert p.shape[1] == first.shape[1], "fused projections must share k"
         assert p.row_shards == first.row_shards
+    from ..ops.linear import _GROUPED_FMTS
     transposed = first.fmt in TRANSPOSED_FMTS
-    # transposed packings carry output rows on AXIS 1 of packed/lut
-    packed = jnp.concatenate([p.packed for p in parts],
-                             axis=1 if transposed else 0)
+    # transposed packings carry output rows on AXIS 1 of packed/lut; the
+    # grouped XLA layout [G, n, 128] likewise carries n on axis 1
+    packed = jnp.concatenate(
+        [p.packed for p in parts],
+        axis=1 if transposed or first.fmt in _GROUPED_FMTS else 0)
     scales = jnp.concatenate([p.scales for p in parts], axis=1)
     zeros = jnp.concatenate([p.zeros for p in parts], axis=1)
     row_lut = first.lut is not None and (

@@ -32,22 +32,57 @@ TRANSPOSED_FMTS = ("any4t", "nf4t", "fp4t", "w8a8t", "int8t")
 _T_INT8_FMTS = ("w8a8t", "int8t")
 # quad-word int8 formats: packed [n/4, kp] int32, four rows' bytes per
 # word, in-kernel bitcast (the w4a8 mechanics on full bytes) -- the
-# measured-best int8-weight layout (lab_int8b_r4.json)
+# best PALLAS int8-weight layout (lab_int8b_r4.json), kept addressable;
+# superseded as default by the XLA-dot grouped layout below
 _QUAD8_FMTS = ("w8a8q", "int8q", "any4q8")
-# m threshold below which the fused GEMV kernel is used. Measured on
+# grouped XLA-dot int8 formats (round 5): packed [kp/128, n, 128] int8,
+# one batched int8 dot -> per-group int32 partials + two small affine
+# einsums. Mosaic DMA stages weight bytes at ~250-280 GB/s no matter how
+# the pipeline is built (even pure-DMA rings; lab_staging_r5.json) while
+# XLA's own dot streams them at ~654 GB/s -- so the int8-weight formats
+# ride XLA, not Pallas. Numerics identical to the quad kernels.
+_GROUPED_FMTS = ("w8a8g", "int8g", "any4q8g")
+# per-ROW-scale int8 formats: packed [n, k] int8 plain, scales [1, n].
+# One full-k dot + a rank-1 affine -- no per-group partials, so the
+# grouped path's [G, m, n] materialization cost disappears and m=1
+# decode runs at the plain-dot 25.7 us (1.80x bf16). Accuracy: 8-bit
+# per-channel (w8a8r/int8r, the standard per-channel int8 story) or the
+# any4 per-row LUT learned on row-normalized weights (any4q8r) --
+# any4's learned codebook is exactly the format whose quality survives
+# whole-row grouping (BASELINE.md group-size table: any4 degrades 2.8%
+# from g=128 to g=1024 where fp4/nf4 explode).
+_ROWSCALE_FMTS = ("w8a8r", "int8r", "any4q8r")
+# largest m for the grouped XLA formulation: the [G, m, n] int32 partial
+# tensor scales with m (134 MB at m=256, 4096^2 -- measured collapse in
+# lab_xla8_r5.json m_sweep); above this the dequantize-then-matmul path
+# wins. Per-row formats never materialize partials and take every m.
+_XLA_GROUPED_M_MAX = 128
+# m-tile of the fused GEMV kernel: calls at m <= FUSED_M_MAX run as one
+# dispatch, larger m is CHUNKED through the same kernel in FUSED_M_MAX
+# tiles (round 5; previously large m dequantized, which is what made
+# m=3968 engine prefills collapse the long-context A/Bs). Measured on
 # hardware (tools/tune_m.py, benchmarks/tune_m_{int4p,any4}_4096.json):
 # the kernel's cost is dominated by per-weight-element dequant work, so
 # it is FLAT in m until the MXU dots catch up (int4p 29 us/layer at
 # m=1..64, 63 us at m=256; any4 153-171 us through m=512), while the
 # dequantize-then-matmul path pays the dense reconstruction every call
-# (int4p ~600 us, any4 275-640 us after the select-chain fix). Prefill
-# at serving bucket sizes (<=512) therefore always takes the fused
-# kernel.
+# (int4p ~600 us, any4 275-640 us after the select-chain fix). Passing
+# fused_m_max=0 to :func:`linear` selects dequantize-then-matmul (kept
+# addressable for measurement).
 FUSED_M_MAX = 512
-# m-chunk for int8-MXU (w4a8/w8a8) prefill through the fused kernel: the
-# [m_tile, block_n] f32 VMEM accumulator + int8 x/w blocks stay well
-# inside the ~16 MB VMEM budget at 256 x 1024
-_INT8_M_TILE = 256
+# m-chunk for int8-MXU (w4a8/w8a8) prefill through the fused kernel.
+# Each chunk re-streams the packed weights, so a long prefill pays
+# ceil(m/tile) weight reads: the tile is as large as the VMEM budget
+# allows for the shape (x [tile, kp] int8 + [tile, block_n] f32
+# accumulator + the weight block inside ~16 MB). Round 4 used a flat
+# 256 (the m=3968 engine prefills read the weights 16x -- the
+# long-context collapse, VERDICT r4 #3); 1024 at k <= 4096 cuts that
+# to 4x.
+_INT8_M_TILE = 512      # conservative flat tile (large-k shapes)
+
+
+def _int8_m_tile(k: int) -> int:
+    return 1024 if k <= 4096 else _INT8_M_TILE
 
 
 @jax.tree_util.register_pytree_node_class
@@ -136,35 +171,54 @@ def quantize_tensor(w: jax.Array, fmt: str = "any4", group_size: int = 128,
     if fmt in ("any4", "nf4", "fp4") and layout != "row" \
             and group_size % 128 == 0:
         fmt = fmt + "t"     # default to the fast transposed layout
-    if fmt in ("w8a8", "int8") and layout != "row" \
-            and group_size % 128 == 0 and n % 4 == 0:
-        # int8 weights default to the quad-word layout (four rows' bytes
-        # per int32, in-kernel bitcast -- w4a8's mechanics on full
-        # bytes): the measured-best of four int8 layouts (60.1/62.5 vs
-        # row 62.3/121.7 and transposed 64.6 us/layer at 4096^2 m=1;
-        # benchmarks/lab_int8_r4.json, lab_int8b_r4.json, PERF_NOTES
-        # round 4). Row-major remains for embeddings (layout="row"),
-        # g < 128, and n % 4 != 0.
-        fmt = "int8q" if fmt == "int8" else "w8a8q"
+    if fmt == "int4" and layout != "row" and group_size % 128 == 0 \
+            and n % 2 == 0:
+        # uniform int4 defaults to the pair-packed magic-number layout:
+        # identical numbers (same group quantization), gather-free kernel
+        # at 29 vs the planar gather path's 134 us/layer at 4096^2 m=1
+        # (PERF_NOTES round-2 design matrix; the round-4 any4->any4t
+        # precedent, VERDICT r4 #8). Row-major planar remains for
+        # embeddings (layout="row"), g % 128 != 0 and odd n.
+        fmt = "int4p"
+    if fmt in ("w8a8", "int8", "any4q8") and layout != "row" \
+            and group_size % 128 == 0:
+        # int8-weight formats default to the GROUPED XLA-dot layout
+        # (round 5): Mosaic stages weight bytes at ~250-280 GB/s however
+        # the DMA is pipelined, while XLA's own int8 dot streams them at
+        # ~654 GB/s -- 59.8 -> 25.8-37.4 us/layer at 4096^2 m<=64 with
+        # numerics IDENTICAL to the round-4 quad kernels
+        # (benchmarks/lab_staging_r5.json, lab_xla8_r5.json; PERF_NOTES
+        # round 5). The quad layouts stay addressable as
+        # w8a8q/int8q/any4q8 explicit. Row-major remains for embeddings
+        # (layout="row") and g % 128 != 0.
+        fmt = {"w8a8": "w8a8g", "int8": "int8g",
+               "any4q8": "any4q8g"}[fmt]
     host_input = isinstance(w, _np.ndarray)
     int_zeros = bool(kwargs.pop("int_zeros", False))
     assert not int_zeros or fmt in ("int4", "int4p", "int8", "int8p",
-                                    "w4a8", "w8a8", "w8a8t", "int8t"), \
+                                    "w4a8", "w8a8", "w8a8t", "int8t",
+                                    "w8a8g", "int8g"), \
         f"int_zeros (group_q1/new_grouping) applies to int formats, not {fmt!r}"
-    if fmt == "int4" and host_input and k % group_size == 0 and not int_zeros:
+    if fmt in ("int4", "int4p") and host_input and k % group_size == 0 \
+            and not int_zeros and not kwargs.get("scale_only", False):
         # host-side (checkpoint-conversion) fast path: the C++/OpenMP data
-        # plane quantizes+packs without a device round trip (the analog of
-        # the reference's host conversion stage, TinyGemmConvertB.cu:21-466)
+        # plane quantizes (and for the planar layout packs) without a
+        # device round trip (the analog of the reference's host conversion
+        # stage, TinyGemmConvertB.cu:21-466)
         from .. import native
         if native.available():
             codes_n, scales_n, zeros_n = native.group_quantize(
                 _np.asarray(w, _np.float32), 4, group_size)
-            packed_n = native.pack_int4(codes_n, row_shards)
+            if fmt == "int4p":
+                packed_n = packing.pack_int4_pair(jnp.asarray(codes_n),
+                                                  row_shards)
+            else:
+                packed_n = jnp.asarray(native.pack_int4(codes_n, row_shards))
             scales, zeros = packing.pad_group_arrays(
                 jnp.asarray(scales_n), jnp.asarray(zeros_n), k, group_size,
                 row_shards)
             return QuantizedTensor(
-                jnp.asarray(packed_n), scales.T.astype(jnp.float32),
+                packed_n, scales.T.astype(jnp.float32),
                 zeros.T.astype(jnp.float32), None, fmt, group_size, (n, k),
                 jnp.dtype(w.dtype), row_shards)
     if host_input:
@@ -172,7 +226,9 @@ def quantize_tensor(w: jax.Array, fmt: str = "any4", group_size: int = 128,
     symmetric = bool(kwargs.pop("scale_only", False))
     assert not symmetric or fmt in ("int4", "int4p", "int8", "int8p",
                                     "w4a8", "w8a8", "w8a8t", "int8t",
-                                    "any4", "any4t", "any4q8"), \
+                                    "w8a8g", "int8g", "w8a8r", "int8r",
+                                    "any4", "any4t", "any4q8", "any4q8g",
+                                    "any4q8r"), \
         f"scale_only (symmetric) applies to int/any4 formats, not {fmt!r}"
     if fmt == "int4":
         codes, scales, zeros = quant.group_quantize(
@@ -211,9 +267,10 @@ def quantize_tensor(w: jax.Array, fmt: str = "any4", group_size: int = 128,
         packed = packing.pack_int8_transposed(q, row_shards)
         lut = None
     elif fmt in ("w8a8q", "int8q"):
-        # quad-word int8 (the production default): four rows' bytes per
-        # int32 word, in-kernel bitcast to a [bn, 128] int8 tile with
-        # zero vector ops (w4a8's mechanics on full bytes)
+        # quad-word int8 (the best PALLAS layout; the grouped XLA layout
+        # below superseded it as default): four rows' bytes per int32
+        # word, in-kernel bitcast to a [bn, 128] int8 tile with zero
+        # vector ops (w4a8's mechanics on full bytes)
         assert group_size % 128 == 0, \
             f"{fmt} requires group_size a multiple of 128"
         assert n % 4 == 0, f"{fmt} quad packing requires n % 4 == 0"
@@ -221,7 +278,51 @@ def quantize_tensor(w: jax.Array, fmt: str = "any4", group_size: int = 128,
             w, group_size, symmetric=symmetric, int_zeros=int_zeros)
         packed = packing.pack_int8_quad(q, row_shards)
         lut = None
-    elif fmt == "any4q8":
+    elif fmt in ("w8a8g", "int8g"):
+        # grouped XLA-dot int8 (the production int8-weight default):
+        # same numbers as w8a8/int8, codes stored [kp/128, n, 128] for
+        # the batched int8 dot_general (see packing.pack_int8_grouped)
+        assert group_size % 128 == 0, \
+            f"{fmt} requires group_size a multiple of 128"
+        q, scales, zeros = quant.int8_quantize(
+            w, group_size, symmetric=symmetric, int_zeros=int_zeros)
+        packed = packing.pack_int8_grouped(q, row_shards)
+        lut = None
+    elif fmt in ("w8a8r", "int8r"):
+        # per-ROW-scale int8 on the plain XLA dot: one full-k
+        # contraction + a rank-1 affine (the standard per-channel int8
+        # quantization; scales [1, n])
+        q, scales, zeros = quant.int8_quantize(
+            w, k, symmetric=symmetric, int_zeros=int_zeros)
+        return QuantizedTensor(
+            packing.pack_rowscale(q, row_shards),
+            scales.T.astype(jnp.float32), zeros.T.astype(jnp.float32),
+            None, fmt, k, (n, k), w.dtype, row_shards)
+    elif fmt == "any4q8r":
+        # any4's learned per-row LUT at WHOLE-ROW grouping, snapped to
+        # an int8 grid: reconstruction lut8[c] * s_row + z_row is a
+        # plain int8 dot + rank-1 affine -- m=1 decode at the full
+        # XLA-dot rate (~25.7 us at 4096^2 = 1.80x bf16) with the one
+        # 4-bit-born format whose accuracy survives large groups
+        # (BASELINE.md group-size ablation: any4 14.34 at g=1024 vs
+        # 13.95 at g=128 while fp4/nf4 blow up to 1e5-1e6)
+        codes, lut01, scales, zeros = anyq.any4_quantize(
+            w, n_bit=4, group_size=k, scale_only=symmetric, **kwargs)
+        lutc = (lut01 - 8.0).astype(jnp.float32)
+        sr = jnp.maximum(jnp.max(jnp.abs(lutc), axis=1, keepdims=True),
+                         1e-12) / 127.0
+        lut8 = jnp.clip(jnp.round(lutc / sr), -127.0,
+                        127.0).astype(jnp.int8)
+        if lut8.shape[0] == 1:
+            lut8 = jnp.broadcast_to(lut8, (n, 16))
+            sr = jnp.broadcast_to(sr, (n, 1))
+        q8 = jnp.take_along_axis(lut8, codes.astype(jnp.int32), axis=1)
+        return QuantizedTensor(
+            packing.pack_rowscale(q8, row_shards),
+            (scales * sr).T.astype(jnp.float32),
+            zeros.T.astype(jnp.float32), None, fmt, k, (n, k), w.dtype,
+            row_shards)
+    elif fmt in ("any4q8", "any4q8g"):
         # any4 accuracy on the w8a8t kernel: the learned per-row LUT is
         # snapped to an int8 grid (error <= |lut|_max/254 of the row
         # scale) and the CODES ARE MATERIALIZED as int8 at pack time --
@@ -243,9 +344,12 @@ def quantize_tensor(w: jax.Array, fmt: str = "any4", group_size: int = 128,
         if lut8.shape[0] == 1:                           # global LUT
             lut8 = jnp.broadcast_to(lut8, (n, 16))
             sr = jnp.broadcast_to(sr, (n, 1))
-        assert n % 4 == 0, "any4q8 quad packing requires n % 4 == 0"
         q8 = jnp.take_along_axis(lut8, codes.astype(jnp.int32), axis=1)
-        packed = packing.pack_int8_quad(q8, row_shards)
+        if fmt == "any4q8g":
+            packed = packing.pack_int8_grouped(q8, row_shards)
+        else:
+            assert n % 4 == 0, "any4q8 quad packing requires n % 4 == 0"
+            packed = packing.pack_int8_quad(q8, row_shards)
         scales = scales * sr                             # fold row scale
         lut = None
     elif fmt == "int4p":
@@ -311,6 +415,10 @@ def quantize_tensor(w: jax.Array, fmt: str = "any4", group_size: int = 128,
         packed = packing.pack_int8(q, row_shards)
         lut = None
     elif fmt == "int8p":
+        # MEASUREMENT-ONLY layout (never a routed default): loses to the
+        # quad-word int8q/w8a8q at every measured shape (75 vs 60-62
+        # us/layer at 4096^2 m=1, lab_int8_r4.json); kept addressable so
+        # the design-matrix numbers stay reproducible.
         # split-byte magic-number int8: each byte u = 16*hi + lo becomes
         # two group-interleaved nibble planes with scales (s, 16*s), so
         # the gather-free pair-packed kernel computes the int8 dot as two
@@ -355,6 +463,43 @@ def dequantize_tensor(qt: QuantizedTensor, dtype=None) -> jax.Array:
     the analog of tinygemm's `tinygemm_dequant_int4`,
     TinyGemmDequantize.cu:19-58)."""
     from dataclasses import replace as _replace
+    if qt.fmt in _ROWSCALE_FMTS:
+        # plain [n(_local), k(_local)] int8 + per-row affine; unpadded,
+        # so shard-local leaves reconstruct with the same expression
+        dtype = dtype or qt.dtype
+        s = qt.scales.T          # [n_local, 1]
+        z = qt.zeros.T
+        return (qt.packed.astype(jnp.float32) * s + z).astype(dtype)
+    if qt.fmt in _GROUPED_FMTS:
+        dtype = dtype or qt.dtype
+        n, k = qt.shape
+        S = qt.row_shards
+        if S > 1:
+            shard_groups = packing.padded_k(k // S) // packing.LANES
+            if qt.packed.shape[0] == shard_groups:
+                # live shard_map leaf: one k-shard, full static metadata
+                sub = _replace(qt, shape=(n, k // S), row_shards=1)
+                return dequantize_tensor(sub, dtype)
+            rowper = qt.scales.shape[0] // S
+            parts = []
+            for s_ in range(S):
+                sub = _replace(
+                    qt,
+                    packed=qt.packed[s_ * shard_groups:
+                                     (s_ + 1) * shard_groups],
+                    scales=qt.scales[s_ * rowper:(s_ + 1) * rowper],
+                    zeros=qt.zeros[s_ * rowper:(s_ + 1) * rowper],
+                    shape=(n, k // S), row_shards=1)
+                parts.append(dequantize_tensor(sub, dtype))
+            return jnp.concatenate(parts, axis=1)
+        n_local = qt.packed.shape[1]
+        kp = qt.packed.shape[0] * packing.LANES
+        q = packing.unpack_int8_grouped(qt.packed, kp).astype(jnp.float32)
+        g = min(qt.group_size, kp)
+        scales = jnp.repeat(qt.scales.T, g, axis=1)[:, :kp]
+        zeros = jnp.repeat(qt.zeros.T, g, axis=1)[:, :kp]
+        w = q * scales + zeros
+        return w[:, :min(k, kp)].astype(dtype)
     transposed = qt.fmt in TRANSPOSED_FMTS
     k_axis = 0 if transposed else 1   # packed axis carrying (packed) k
     if qt.row_shards > 1:
@@ -506,6 +651,72 @@ def quantize_activations(x: jax.Array, eps: float = gemv.ACT_EPS):
     return xq, sx
 
 
+def _xla_rowscale_linear(x: jax.Array, w: QuantizedTensor) -> jax.Array:
+    """Per-row-scale int8 linear on the plain XLA dot (w8a8r/int8r/
+    any4q8r): ``y = (x . W8^T) * s_n + sum(x) * z_n`` -- one full-k
+    contraction at XLA's streaming rate plus a rank-1 affine. Works at
+    every m (no per-group partials to materialize)."""
+    packed, s, z = w.packed, w.scales, w.zeros       # [n_l, k_l], [1, n_l]
+    lead = x.shape[:-1]
+    x2 = x.reshape(-1, x.shape[-1])
+    n_local = packed.shape[0]
+    if w.fmt == "int8r":
+        P = jax.lax.dot_general(
+            x2.astype(jnp.bfloat16), packed.astype(jnp.bfloat16),
+            (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        xs = jnp.sum(x2.astype(jnp.float32), axis=1, keepdims=True)
+        y = P * s + xs * z
+    else:
+        xq, sx = quantize_activations(x2)
+        P = jax.lax.dot_general(
+            xq, packed, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32).astype(jnp.float32)
+        xs = jnp.sum(xq.astype(jnp.int32), axis=1,
+                     keepdims=True).astype(jnp.float32)
+        y = (P * s + xs * z) * sx
+    return y.reshape(*lead, n_local).astype(x.dtype)
+
+
+def _xla_grouped_linear(x: jax.Array, w: QuantizedTensor) -> jax.Array:
+    """Grouped int8 linear on the batched XLA dot (w8a8g/int8g/any4q8g):
+    codes [G, n, 128], one int8 dot_general -> [G, m, n] partials, the
+    per-group affine folded by two small einsums. Exact w8a8/any4q8
+    numerics (verified vs the quad kernel, lab_xla8_r5). Callers bound
+    m at _XLA_GROUPED_M_MAX (the partial tensor scales with m)."""
+    packed = w.packed                                 # [G, n_l, 128]
+    G, n_local = packed.shape[0], packed.shape[1]
+    kp = G * packing.LANES
+    xa = _shard_align_x(x, w)
+    lead = xa.shape[:-1]
+    x2 = xa.reshape(-1, xa.shape[-1])
+    if x2.shape[1] != kp:
+        x2 = jnp.pad(x2, ((0, 0), (0, kp - x2.shape[1])))
+    m = x2.shape[0]
+    s, z = w.scales, w.zeros                          # [kp/g, n_l]
+    rep = G // s.shape[0]
+    if rep > 1:                                       # g > 128
+        s = jnp.repeat(s, rep, axis=0)
+        z = jnp.repeat(z, rep, axis=0)
+    if w.fmt == "int8g":
+        xb = x2.astype(jnp.bfloat16).reshape(m, G, 128).transpose(1, 0, 2)
+        P = jax.lax.dot_general(
+            xb, packed.astype(jnp.bfloat16), (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        xs = jnp.sum(xb.astype(jnp.float32), axis=2)
+        y = jnp.einsum("gmn,gn->mn", P, s) + jnp.einsum("gm,gn->mn", xs, z)
+    else:
+        xq, sx = quantize_activations(x2)
+        xb = xq.reshape(m, G, 128).transpose(1, 0, 2)
+        P = jax.lax.dot_general(
+            xb, packed, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.int32)
+        xs = jnp.sum(xb.astype(jnp.int32), axis=2).astype(jnp.float32)
+        y = jnp.einsum("gmn,gn->mn", P.astype(jnp.float32), s) \
+            + jnp.einsum("gm,gn->mn", xs, z)
+        y = y * sx
+    return y.reshape(*lead, n_local).astype(x.dtype)
+
+
 def _kernel_fmt(fmt: str, lut: Optional[jax.Array] = None) -> str:
     if fmt in ("nf4", "fp4", "mx4"):
         return "lut4"
@@ -559,7 +770,19 @@ def linear(x: jax.Array, w, bias: Optional[jax.Array] = None, *,
         m = 1
         for d in x.shape[:-1]:
             m *= d
-        if w.fmt in ("w4a8", "w8a8", "w8a8t", "w8a8q", "any4q8"):
+        if w.fmt in _ROWSCALE_FMTS:
+            y = _xla_rowscale_linear(x, w)
+        elif w.fmt in _GROUPED_FMTS:
+            if m <= _XLA_GROUPED_M_MAX:
+                y = _xla_grouped_linear(x, w)
+            else:
+                # the [G, m, n] partials outgrow their usefulness
+                # (lab_xla8_r5 m_sweep: 39.4 us at m=256 vs bf16 16.7);
+                # big prefills dequantize (int8 dequant is a cheap
+                # elementwise affine, unlike the 4-bit LUT select chain)
+                wd = dequantize_tensor(w, dtype=x.dtype)
+                y = jnp.einsum("...k,nk->...n", x, wd)
+        elif w.fmt in ("w4a8", "w8a8", "w8a8t", "w8a8q", "any4q8"):
             # int8-MXU formats run the fused kernel at EVERY m: decode in
             # one dispatch, prefill chunked over m so the VMEM f32
             # accumulator block stays within budget. Unlike the bf16
@@ -590,16 +813,17 @@ def linear(x: jax.Array, w, bias: Optional[jax.Array] = None, *,
                     fmt=kfmt, group_size=w.group_size, n=n_local,
                     block_n=block_n, out_dtype=jnp.float32,
                     interpret=interpret, k_chunk=k_chunk)
-                if m <= max(fused_m_max, _INT8_M_TILE):
+                tile = _int8_m_tile(w.shape[1])
+                if m <= max(fused_m_max, tile):
                     y = mm(xq)
                 else:
                     x2 = xq.reshape(-1, xq.shape[-1])
                     y = jnp.concatenate(
-                        [mm(x2[i:i + _INT8_M_TILE])
-                         for i in range(0, m, _INT8_M_TILE)]
+                        [mm(x2[i:i + tile])
+                         for i in range(0, m, tile)]
                     ).reshape(*xq.shape[:-1], n_local)
                 y = (y * sx).astype(x.dtype)
-        elif m <= fused_m_max:
+        elif fused_m_max > 0:
             xq = _shard_align_x(x, w)
             # n from the live array, not static metadata: inside shard_map
             # the leaves are local shards while .shape still describes the
@@ -617,12 +841,28 @@ def linear(x: jax.Array, w, bias: Optional[jax.Array] = None, *,
                        w.packed.shape[0] *
                        (2 if w.fmt in ("int4p", "int8p") else
                         4 if w.fmt in _QUAD8_FMTS else 1))
-            y = gemv.quantized_matmul(
-                xq, w.packed, w.scales, w.zeros, w.lut,
+            mm = functools.partial(
+                gemv.quantized_matmul, packed=w.packed, scales_t=w.scales,
+                zeros_t=w.zeros, lut=w.lut,
                 fmt=_kernel_fmt(w.fmt, w.lut), group_size=gs,
                 n=n_local, block_n=block_n, out_dtype=x.dtype,
                 use_gather=use_gather, interpret=interpret,
                 k_chunk=k_chunk)
+            if m <= fused_m_max:
+                y = mm(xq)
+            else:
+                # long-prompt prefill: chunk m through the fused kernel
+                # (the int8-MXU formats' _INT8_M_TILE treatment applied to
+                # the bf16-dot formats -- VERDICT r4 #3). The dequantize-
+                # then-matmul alternative materializes the dense weight
+                # per call (~600 us/layer at 4096^2, tune_m_int4p_4096)
+                # and was what made m=3968 engine prefills collapse the
+                # long-context A/Bs to 0.97-1.00x.
+                x2 = xq.reshape(-1, xq.shape[-1])
+                y = jnp.concatenate(
+                    [mm(x2[i:i + fused_m_max])
+                     for i in range(0, m, fused_m_max)]
+                ).reshape(*xq.shape[:-1], n_local)
         else:
             wd = dequantize_tensor(w, dtype=x.dtype)
             y = jnp.einsum("...k,nk->...n", x, wd)

@@ -311,6 +311,61 @@ def unpack_int8_transposed(packed: jax.Array, k: int, shards: int = 1
     return packed[:k].T
 
 
+def pack_int8_grouped(q: jax.Array, shards: int = 1) -> jax.Array:
+    """Grouped int8 layout for the XLA-dot path: centered int8 codes
+    ``[n, k]`` -> ``[k_padded/128, n, 128]`` (one 128-wide quantization
+    sub-group per leading batch index).
+
+    Round-5 finding (benchmarks/lab_staging_r5.json): Pallas/Mosaic
+    stages weight bytes into VMEM at ~250-280 GB/s no matter how the
+    DMA is pipelined (pure-DMA rings with NO compute hit the same
+    wall), while XLA's own int8 x int8 -> int32 ``dot_general`` streams
+    the same bytes at ~654 GB/s. This layout feeds that dot as ONE
+    batched contraction ``x [G, m, 128] . w [G, n, 128] -> [G, m, n]``
+    whose int32 group partials take the exact post-dot affine
+    ``y = sum_g P_g * s_g + sum(x_g) * z_g`` as two small einsums --
+    bit-identical numerics to the quad-word kernel path, 60 -> ~26-37
+    us/layer at 4096^2 (lab_xla8_r5.json). ``shards > 1`` packs each
+    contiguous k-slice independently (row-parallel TP splits on axis 0
+    at group granularity).
+    """
+    n, k = q.shape
+    if shards > 1:
+        assert k % shards == 0, f"k={k} not divisible by shards={shards}"
+        parts = [pack_int8_grouped(
+            q[:, s * (k // shards):(s + 1) * (k // shards)])
+            for s in range(shards)]
+        return jnp.concatenate(parts, axis=0)
+    kp = padded_k(k)
+    qp = pad_axis(q, 1, kp)                       # [n, kp]
+    return qp.reshape(n, kp // LANES, LANES).transpose(1, 0, 2)
+
+
+def unpack_int8_grouped(packed: jax.Array, k: int, shards: int = 1
+                        ) -> jax.Array:
+    """Inverse of :func:`pack_int8_grouped`; returns int8 ``[n, k]``."""
+    if shards > 1:
+        gw = packed.shape[0] // shards
+        parts = [unpack_int8_grouped(packed[s * gw:(s + 1) * gw],
+                                     k // shards)
+                 for s in range(shards)]
+        return jnp.concatenate(parts, axis=1)
+    g, n, lanes = packed.shape
+    return packed.transpose(1, 0, 2).reshape(n, g * lanes)[:, :k]
+
+
+def pack_rowscale(q: jax.Array, shards: int = 1) -> jax.Array:
+    """Plain ``[n, k] int8`` for the per-row-scale XLA-dot formats
+    (w8a8r/int8r/any4q8r): no padding, no word packing -- XLA streams
+    the natural layout at the HBM-class rate the Pallas kernels cannot
+    reach (lab_staging_r5). A contiguous k split needs no per-shard
+    padding, so ``shards`` only asserts divisibility."""
+    n, k = q.shape
+    if shards > 1:
+        assert k % shards == 0, f"k={k} not divisible by shards={shards}"
+    return q.astype(jnp.int8)
+
+
 def pack_int4_transposed(codes: jax.Array, shards: int = 1) -> jax.Array:
     """Transposed planar packing for the sublane-gather LUT kernels:
     4-bit codes ``[n, k]`` -> int32 words ``[k_padded/8, n]``.

@@ -60,6 +60,35 @@ def _qt_spec(kind: str, qt: lin.QuantizedTensor) -> lin.QuantizedTensor:
     any4t layout swaps the packed axes (codes are [kp/8, n], LUT [16, n]),
     so its n/k sharding axes swap accordingly."""
     transposed = qt.fmt in lin.TRANSPOSED_FMTS
+    if qt.fmt in lin._GROUPED_FMTS:
+        # grouped XLA layout: packed [G, n, 128] -- n on axis 1, k
+        # (group) on axis 0
+        if kind == "col":
+            return lin.QuantizedTensor(
+                packed=P(None, "tp", None), scales=P(None, "tp"),
+                zeros=P(None, "tp"), lut=None, fmt=qt.fmt,
+                group_size=qt.group_size, shape=qt.shape,
+                dtype=qt.dtype, row_shards=qt.row_shards)
+        return lin.QuantizedTensor(
+            packed=P("tp", None, None), scales=P("tp", None),
+            zeros=P("tp", None), lut=None, fmt=qt.fmt,
+            group_size=qt.group_size, shape=qt.shape, dtype=qt.dtype,
+            row_shards=qt.row_shards)
+    if qt.fmt in lin._ROWSCALE_FMTS:
+        # plain [n, k] int8 with per-row scales [1, n]: n-sharding
+        # splits both; k-sharding splits packed only (scales replicate,
+        # the rank-1 affine partials psum linearly)
+        if kind == "col":
+            return lin.QuantizedTensor(
+                packed=P("tp", None), scales=P(None, "tp"),
+                zeros=P(None, "tp"), lut=None, fmt=qt.fmt,
+                group_size=qt.group_size, shape=qt.shape,
+                dtype=qt.dtype, row_shards=qt.row_shards)
+        return lin.QuantizedTensor(
+            packed=P(None, "tp"), scales=P(None, None),
+            zeros=P(None, None), lut=None, fmt=qt.fmt,
+            group_size=qt.group_size, shape=qt.shape, dtype=qt.dtype,
+            row_shards=qt.row_shards)
     has_row_lut = qt.lut is not None and (
         qt.lut.shape[1] == qt.shape[0] if transposed
         else qt.lut.shape[0] == qt.shape[0])
@@ -148,6 +177,15 @@ def _interleave_rows(leaf, sizes, tp: int):
             order.extend(range(off + i * per, off + (i + 1) * per))
     order = np.asarray(order)
     if isinstance(leaf, lin.QuantizedTensor):
+        if leaf.fmt in lin._GROUPED_FMTS:
+            # grouped layout: output rows on axis 1 of packed
+            return dataclasses.replace(
+                leaf, packed=leaf.packed[:, order],
+                scales=leaf.scales[:, order], zeros=leaf.zeros[:, order])
+        if leaf.fmt in lin._ROWSCALE_FMTS:
+            return dataclasses.replace(
+                leaf, packed=leaf.packed[order],
+                scales=leaf.scales[:, order], zeros=leaf.zeros[:, order])
         if leaf.fmt in lin.TRANSPOSED_FMTS:
             # transposed layout: output rows live on AXIS 1 of packed/lut
             lut = leaf.lut

@@ -131,7 +131,8 @@ def quantize_model(
             sw = sw(name)
         if sw is not None:
             kw["sample_weight"] = jnp.asarray(sw)
-        if fmt not in ("any4", "any4t", "any4q8", "anyq"):
+        if fmt not in ("any4", "any4t", "any4q8", "any4q8g", "any4q8r",
+                       "anyq"):
             # sample weights / kmeans options only apply to learned formats
             for k in ("sample_weight", "init", "keep_outliers",
                       "scale_sample_weight", "abs_weight_sample_weight",
@@ -154,7 +155,7 @@ def quantize_model(
             # other formats re-raise rather than retrying identically.
             if ("RESOURCE_EXHAUSTED" not in str(e)
                     and "Out of memory" not in str(e)) \
-                    or f not in ("any4", "any4t", "any4q8"):
+                    or f not in ("any4", "any4t", "any4q8", "any4q8g", "any4q8r"):
                 raise
             if progress:
                 print(f"  OOM quantizing {name}; retrying with "
@@ -237,6 +238,13 @@ quant_methods = {
     # time: any4-class accuracy on the transposed int8-MXU kernel (8
     # bits/weight -- the speed point between any4t and w4a8)
     "any4q8": functools.partial(quantize_model, fmt="any4q8"),
+    # per-ROW-scale variant: the any4 LUT learned on whole-row-normalized
+    # weights, snapped to int8 -- runs as ONE plain XLA int8 dot + rank-1
+    # affine (m=1 decode at the full streaming rate; round 5)
+    "any4q8r": functools.partial(quantize_model, fmt="any4q8r"),
+    # per-channel int8 on the plain XLA dot (round 5)
+    "w8a8r": functools.partial(quantize_model, fmt="w8a8r"),
+    "int8r": functools.partial(quantize_model, fmt="int8r"),
     "anyq": functools.partial(quantize_model, fmt="anyq"),
     "nf4": functools.partial(quantize_model, fmt="nf4"),
     "nf4t": functools.partial(quantize_model, fmt="nf4t"),

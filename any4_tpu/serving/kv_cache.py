@@ -240,7 +240,14 @@ def _flash_decode_kernel_q(seq_ref, tbl_ref, q_ref, k_ref, ks_ref, v_ref,
     ``code * amax`` is 127.5x off (caught by
     test_contig_attention_quantized_pool_impls_agree). Scales fold into
     the logits/probs (O(rep*ps)) instead of scaling the page (O(ps*d));
-    linearity makes them identical."""
+    linearity makes them identical.
+
+    Precision note (intentional asymmetry): this kernel dequantizes and
+    dots in f32, while the contig quantized kernel and _dense_attend_q8
+    run their dots in bf16 for MXU rate -- this paged flash path is the
+    large-context fallback where the extra precision is free relative to
+    its data movement, and cross-kernel agreement is pinned at 2e-2.
+    Align the dots to bf16 before tightening those tolerances."""
     _flash_decode_step(
         seq_ref, tbl_ref, q_ref,
         k_ref[0, 0].astype(jnp.float32),
@@ -725,15 +732,15 @@ def paged_attention(q: jax.Array, k_pages: jax.Array, v_pages: jax.Array,
                 impl = "upstream" if d % 128 == 0 else "flash"
     if impl == "upstream" and on_tpu and d % 128 == 0:
         from jax.experimental.pallas.ops.tpu.paged_attention import (
-            paged_attention as pa, quantization_utils as qu)
+            paged_attention as pa)
         scale = 1.0 / np.sqrt(d)
         pps = table.shape[1]
         blk = min(pages_per_compute_block, pps)
         while pps % blk:
             blk -= 1
         if quantized:
-            kq = qu.QuantizedTensor(k_pages[0], k_pages[1])
-            vq = qu.QuantizedTensor(v_pages[0], v_pages[1])
+            kq = _upstream_quantized_pages(k_pages)
+            vq = _upstream_quantized_pages(v_pages)
             return pa((q * scale).astype(jnp.bfloat16), kq, vq,
                       seq_lens.astype(jnp.int32), table.astype(jnp.int32),
                       pages_per_compute_block=blk)
@@ -749,6 +756,21 @@ def paged_attention(q: jax.Array, k_pages: jax.Array, v_pages: jax.Array,
     return _dense_paged_attention(q, k_pages, v_pages, seq_lens, table,
                                   scale=scale, softcap=softcap,
                                   window=window)
+
+
+def _upstream_quantized_pages(pages):
+    """Adapt an int8 ``(codes [h, P, ps, d], scales [h, P, ps])`` pool pair
+    to the upstream paged_attention kernel's QuantizedTensor convention.
+
+    Our scale pools are 3-D (the round-4 lane-padding fix: a trailing
+    size-1 axis makes XLA pad the pool 128x on lanes), but the upstream
+    kernel dequantizes with ``codes * scales`` broadcast over head_dim --
+    it expects ``[h, P, ps, 1]``. Restore the trailing axis at the call
+    boundary only (the view is free; the stored pool stays 3-D)."""
+    from jax.experimental.pallas.ops.tpu.paged_attention import (
+        quantization_utils as qu)
+    codes, scales = pages
+    return qu.QuantizedTensor(codes, scales[..., None])
 
 
 def _dense_paged_attention(q, k_pages, v_pages, seq_lens, table,

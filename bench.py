@@ -38,16 +38,19 @@ import numpy as np
 
 REFERENCE_ANY4_SPEEDUP = 2.29  # A5000, K=4096 (reference README.md:455)
 REFERENCE_SPEEDUPS = {"any4": 2.29, "any4t": 2.29, "any4q8": 2.29,
-                      "int4": 3.26, "nf4": 2.23, "nf4t": 2.23,
-                      "int4p": 3.26, "int8": 1.0, "int8p": 1.0,
-                      "w4a8": 3.26, "w8a8": 1.0}
+                      "any4q8r": 2.29, "int4": 3.26, "nf4": 2.23,
+                      "nf4t": 2.23, "int4p": 3.26, "int8": 1.0,
+                      "int8p": 1.0, "w4a8": 3.26, "w8a8": 1.0,
+                      "w8a8r": 1.0}
 LAYERS = 16  # GEMVs per chain; distinct weight buffers so each streams HBM
-# NOTE: "any4"/"nf4" now default to the transposed sublane-gather packing
-# and "int8"/"w8a8" to the transposed int8 layout (quantize_tensor); the
+# NOTE: "any4"/"nf4" default to the transposed sublane-gather packing,
+# "int4" to the pair-packed magic kernel, and "int8"/"w8a8"/"any4q8" to
+# the grouped XLA-dot layout (quantize_tensor round-5 routing); the
 # explicit any4t/nf4t entries confirm the identity, int8p keeps the
-# retired split-byte design measurable
-FMTS = ("any4", "any4t", "any4q8", "int4", "int4p", "int8", "int8p",
-        "nf4", "nf4t", "w4a8", "w8a8")
+# retired split-byte design measurable, and any4q8r/w8a8r are the
+# per-row-scale XLA formats (plain-dot rate at m=1)
+FMTS = ("any4", "any4t", "any4q8", "any4q8r", "int4", "int4p", "int8",
+        "int8p", "nf4", "nf4t", "w4a8", "w8a8", "w8a8r")
 
 
 def timed_exec(f, args):
@@ -73,6 +76,19 @@ def build_chain(fmt, x, stacks, shape, kernel_fmt, reps):
         def layer(a, st, i):
             (ws,) = st
             return a @ ws[i].T
+    elif kernel_fmt in ("w8a8g", "int8g", "any4q8g",
+                        "w8a8r", "int8r", "any4q8r"):
+        # XLA-dot formats: no Pallas kernel -- rebuild the tensor and go
+        # through the production linear dispatch
+        from any4_tpu.ops import linear as lin
+
+        def layer(a, st, i):
+            p, s, z, l = st
+            qt = lin.QuantizedTensor(
+                p[i], s[i], z[i], None, kernel_fmt,
+                group_size=(K if kernel_fmt.endswith("r") else 128),
+                shape=(N, K), dtype=jnp.bfloat16)
+            return lin.linear(a, qt).astype(jnp.bfloat16)
     elif fmt in ("w4a8", "w8a8", "any4q8"):
         def layer(a, st, i):
             p, s, z, l = st
@@ -146,7 +162,8 @@ def measure(shape=(4096, 4096), fmts=FMTS, budget_s=420.0, rounds=6,
 
     mats = {"bf16": (None, (stack(w.astype(jnp.bfloat16)),))}
     for fmt in fmts:
-        kw = dict(kmeans_iters=8) if fmt in ("any4", "any4t", "any4q8") else {}
+        kw = dict(kmeans_iters=8) \
+            if fmt in ("any4", "any4t", "any4q8", "any4q8r") else {}
         # jit the quantizer: eager per-op dispatch through the relay takes
         # minutes per weight in the throttled regime (boundary-code jitter
         # vs eager is ~1e-7 -- irrelevant for timing)
@@ -252,7 +269,8 @@ def device_bracket(fmts=FMTS, shape=(4096, 4096), reps=8):
     chains = {}
     mats = {"bf16": (None, (stack(w.astype(jnp.bfloat16)),))}
     for fmt in fmts:
-        kw = dict(kmeans_iters=8) if fmt in ("any4", "any4t", "any4q8") else {}
+        kw = dict(kmeans_iters=8) \
+            if fmt in ("any4", "any4t", "any4q8", "any4q8r") else {}
         qt = jax.jit(functools.partial(
             lin.quantize_tensor, fmt=fmt, group_size=128, **kw))(w)
         mats[fmt] = (lin._kernel_fmt(qt.fmt, qt.lut),
@@ -340,6 +358,39 @@ def main():
         out["e2e_decode_1b"] = {
             k: {"tok_s": v.get(f"{k}_tok_s"), "bf16_tok_s": v.get("bf16_tok_s"),
                 "speedup": v.get("speedup")} for k, v in decode.items()}
+    # FLAGSHIP scale (BASELINE.json's literal metric: tokens/s/chip for
+    # quantized Llama-3.1-8B-class decode). bf16 does not fit this
+    # chip's HBM, so each record carries the quantized checkpoint's own
+    # HBM-roofline tokens/s and the % of it achieved
+    # (tools/bench_decode.py --size 8b --host-init).
+    dec8 = {}
+    for fmt in ("any4q8r", "any4t", "any4", "w4a8", "any4q8"):
+        try:
+            with open(f"benchmarks/bench_decode_8b_{fmt}_r5.log") as f:
+                for ln in f:
+                    if ln.startswith("{"):
+                        rec = json.loads(ln)
+                        dec8[fmt] = {
+                            "tok_s": rec.get(f"{fmt}_tok_s"),
+                            "quant_gb": rec.get("quant_gb"),
+                            "roofline_tok_s": rec.get("roofline_tok_s"),
+                            "pct_of_roofline": rec.get("pct_of_roofline")}
+        except (OSError, json.JSONDecodeError):
+            pass
+    for fmt in ("w4a8", "any4q8r"):
+        try:
+            with open(f"benchmarks/bench_engine_8b_{fmt}_solo_r5.json") as f:
+                ab = json.loads(f.readline())
+            dec8[f"engine_{fmt}"] = {
+                "tok_s": ab["tok_s"], "rounds": ab.get("rounds"),
+                "roofline_tok_s": ab.get("roofline_tok_s"),
+                "pct_of_roofline": ab.get("pct_of_roofline"),
+                "config": {k: ab.get(k) for k in
+                           ("slots", "max_ctx", "burst", "kv_quantize")}}
+        except (OSError, json.JSONDecodeError, KeyError):
+            pass
+    if dec8:
+        out["e2e_decode_8b"] = dec8
     # north-star ENGINE artifact: bf16 vs quantized serving throughput
     # alternated IN ONE PROCESS (tools/bench_engine_ab.py -- regime-
     # robust; the adjacent-window runs it superseded are kept as
@@ -363,18 +414,23 @@ def main():
             # TRUE long-context points (prompt ~= bucket; the plain
             # ctx-N rows decode at seq <= 192 whatever the bucket is)
             ("engine_1b_long2048",
-             ("bench_engine_ab_1b_w4a8_long2048_flash_r4.json",
+             ("bench_engine_ab_1b_w4a8_long2048_r5.json",
+              "bench_engine_ab_1b_w4a8_long2048_flash_r4.json",
               "bench_engine_ab_1b_w4a8_long2048_r4b.json")),
             ("engine_1b_long4096",
-             ("bench_engine_ab_1b_w4a8_long4096_r4b.json",
+             ("bench_engine_ab_1b_w4a8_long4096_r5.json",
+              "bench_engine_ab_1b_w4a8_long4096_r4b.json",
               "bench_engine_ab_1b_w4a8_long4096_flash_r4.json")),
             ("engine_1b_long4096_kvq",
-             ("bench_engine_ab_1b_w4a8_kvq_long4096_bf16dot_r4.json",
+             ("bench_engine_ab_1b_w4a8_kvq_long4096_r5.json",
+              "bench_engine_ab_1b_w4a8_kvq_long4096_bf16dot_r4.json",
               "bench_engine_ab_1b_w4a8_kvq_long4096_sc3d_flash_r4.json",
               "bench_engine_ab_1b_w4a8_kvq_long4096_r4b.json")),
             ("engine_1b_kvcap_ctx2048",
              ("bench_engine_ab_1b_kvcap_ctx2048_r4.json",)),
-            ("engine_1bmoe", ("bench_engine_ab_1bmoe_w4a8_depth4_r4.json",
+            ("engine_1bmoe", ("bench_engine_ab_1bmoe_w4a8_burst64_r5.json",
+                              "bench_engine_ab_1bmoe_w4a8_burst32_r5.json",
+                              "bench_engine_ab_1bmoe_w4a8_depth4_r4.json",
                               "bench_engine_ab_1bmoe_w4a8_r4.json",
                               "bench_engine_ab_1bmoe_w4a8_r3.json"))):
         for fname in fnames:

@@ -28,6 +28,10 @@ FMTS = ["int4", "any4", "nf4", "fp4", "mx4", "int8"]
 
 
 def _mm(x, qt, out_dtype=jnp.float32, **kw):
+    if qt.fmt in lin._GROUPED_FMTS or qt.fmt in lin._ROWSCALE_FMTS:
+        # XLA-dot formats have no Pallas kernel: the production dispatch
+        # IS the op under test
+        return lin.linear(jnp.asarray(x), qt).astype(out_dtype)
     return gemv.quantized_matmul(
         x, qt.packed, qt.scales, qt.zeros, qt.lut,
         fmt=lin._kernel_fmt(qt.fmt, qt.lut), group_size=qt.group_size,
@@ -55,10 +59,14 @@ class TestIdentityMul:
     def test_identity(self, fmt):
         k = 1024
         w = jnp.eye(k, dtype=jnp.float32)
-        qt = lin.quantize_tensor(w, fmt, group_size=128)
-        # the fused dequant table rounds lut*s+z to bf16 exactly like the
-        # reference's dequantize-to-bf16-then-mma, so identity is EXACT in
-        # the bf16 domain (reference test_identity_mul uses torch.equal)
+        # layout="row" pins the planar fused-table kernel, whose dequant
+        # table rounds lut*s+z to bf16 exactly like the reference's
+        # dequantize-to-bf16-then-mma, so identity is EXACT in the bf16
+        # domain (reference test_identity_mul uses torch.equal). The
+        # routed DEFAULT for int4 is now the pair-packed magic kernel,
+        # which is near-exact (1 bf16 ulp) -- covered by
+        # TestInt4Pair.test_identity_near_exact.
+        qt = lin.quantize_tensor(w, fmt, group_size=128, layout="row")
         x = jax.random.normal(jax.random.PRNGKey(0), (4, k),
                               jnp.float32).astype(jnp.bfloat16)
         y = _mm(x, qt, out_dtype=jnp.bfloat16)
@@ -452,7 +460,11 @@ class TestW4A8:
         from any4_tpu.ops.pallas import gemv
         n, k = 128, 4096
         w = jax.random.normal(jax.random.PRNGKey(98), (n, k))
-        qt = lin.quantize_tensor(w, fmt, group_size=128)
+        # pin the PALLAS kernel layout (w8a8 default-routes to the
+        # grouped XLA path, which has no fused-act kernel variant)
+        qt = lin.quantize_tensor(w, "w8a8q" if fmt == "w8a8" else fmt,
+                                 group_size=128)
+        fmt = qt.fmt
         for m in (1, 16, gemv.FUSED_ACT_M_MAX):
             x = jax.random.normal(jax.random.PRNGKey(99 + m), (m, k))
             y_fused = gemv.quantized_matmul(
@@ -582,7 +594,8 @@ class TestQuantizedTensor:
         qt = lin.quantize_tensor(w, "int4", group_size=128)
         leaves, treedef = jax.tree_util.tree_flatten(qt)
         qt2 = jax.tree_util.tree_unflatten(treedef, leaves)
-        assert qt2.fmt == "int4" and qt2.shape == (64, 1024)
+        # int4 routes to the pair-packed default (TestDefaultRouting)
+        assert qt2.fmt == "int4p" and qt2.shape == (64, 1024)
         np.testing.assert_array_equal(np.asarray(qt2.packed),
                                       np.asarray(qt.packed))
 
@@ -734,18 +747,28 @@ class TestTransposedInt8:
         np.testing.assert_array_equal(np.asarray(back2),
                                       np.asarray(q[:, :1024]))
 
-    def test_int8_defaults_to_quad(self):
+    def test_int8_defaults_to_grouped(self):
+        # round 5: int8-weight formats default to the grouped XLA-dot
+        # layout (the Mosaic staging wall does not apply to XLA's own
+        # dot; PERF_NOTES round 5). Quad stays addressable explicitly.
         w = jax.random.normal(jax.random.PRNGKey(51), (64, 1024))
-        for fmt, want in (("int8", "int8q"), ("w8a8", "w8a8q")):
+        for fmt, want in (("int8", "int8g"), ("w8a8", "w8a8g")):
             qt = lin.quantize_tensor(w, fmt, group_size=128)
-            assert qt.fmt == want and qt.packed.shape == (16, 1024)
-            assert qt.packed.dtype == jnp.int32
+            assert qt.fmt == want and qt.packed.shape == (8, 64, 128)
+            assert qt.packed.dtype == jnp.int8
             qr = lin.quantize_tensor(w, fmt, group_size=128, layout="row")
             assert qr.fmt == fmt
             # same numbers either layout
             np.testing.assert_allclose(
                 np.asarray(lin.dequantize_tensor(qt, dtype=jnp.float32)),
                 np.asarray(lin.dequantize_tensor(qr, dtype=jnp.float32)),
+                rtol=0, atol=0)
+            # and the quad kernel layout still matches, bit for bit
+            qq = lin.quantize_tensor(w, fmt + "q", group_size=128)
+            assert qq.fmt == fmt + "q" and qq.packed.dtype == jnp.int32
+            np.testing.assert_allclose(
+                np.asarray(lin.dequantize_tensor(qt, dtype=jnp.float32)),
+                np.asarray(lin.dequantize_tensor(qq, dtype=jnp.float32)),
                 rtol=0, atol=0)
         # g < 128 keeps the row-major fused-table path
         q32 = lin.quantize_tensor(w, "int8", group_size=64)
@@ -763,12 +786,13 @@ class TestTransposedInt8:
         _assert_close(y, _ref(x, qt), tol=2e-2)
 
     @pytest.mark.parametrize("fmt", ["int8", "w8a8"])
-    @pytest.mark.parametrize("m", [1, 4, 80])
+    @pytest.mark.parametrize("m", [1, 4, 80, 200])
     def test_matches_dequant_reference(self, fmt, m):
+        # m=200 > _XLA_GROUPED_M_MAX exercises the dequantize fallback
         n, k = 256, 2048
         w = jax.random.normal(jax.random.PRNGKey(52), (n, k)) * 0.05
         qt = lin.quantize_tensor(w, fmt, group_size=128)
-        assert qt.fmt.endswith("q")
+        assert qt.fmt.endswith("g")
         x = jax.random.normal(jax.random.PRNGKey(53), (m, k))
         y = lin.linear(x, qt, interpret=INTERPRET)
         ref = _ref(x, qt)
@@ -780,7 +804,7 @@ class TestTransposedInt8:
         # act quant) must agree: same absmax, same round, same scale point
         n, k = 128, 1024
         w = jax.random.normal(jax.random.PRNGKey(54), (n, k)) * 0.05
-        qt = lin.quantize_tensor(w, "w8a8", group_size=128)
+        qt = lin.quantize_tensor(w, "w8a8q", group_size=128)
         x = jax.random.normal(jax.random.PRNGKey(55), (2, k))
         y_fused = gemv.quantized_matmul(
             x, qt.packed, qt.scales, qt.zeros, None, fmt="w8a8q",
@@ -834,14 +858,51 @@ class TestAny4Q8:
     def test_linear_matches_dequant(self):
         n, k = 128, 1024
         w = jax.random.normal(jax.random.PRNGKey(61), (n, k)) * 0.05
+        # default routes to the grouped XLA layout (round 5)
         qt = lin.quantize_tensor(w, "any4q8", group_size=128,
                                  kmeans_iters=6)
-        assert qt.fmt == "any4q8" and qt.lut is None
-        assert qt.packed.dtype == jnp.int32   # quad words (4 rows/word)
-        assert qt.packed.shape == (n // 4, k)
+        assert qt.fmt == "any4q8g" and qt.lut is None
+        assert qt.packed.dtype == jnp.int8
+        assert qt.packed.shape == (k // 128, n, 128)
         x = jax.random.normal(jax.random.PRNGKey(62), (2, k))
         y = lin.linear(x, qt, interpret=INTERPRET)
         _assert_close(y, _ref(x, qt), tol=2e-2)
+        # the quad Pallas layout stays addressable via layout="row" and
+        # reconstructs the same numbers
+        qq = lin.quantize_tensor(w, "any4q8", group_size=128,
+                                 kmeans_iters=6, layout="row")
+        assert qq.fmt == "any4q8" and qq.packed.dtype == jnp.int32
+        assert qq.packed.shape == (n // 4, k)
+        yq = lin.linear(x, qq, interpret=INTERPRET)
+        _assert_close(yq, _ref(x, qq), tol=2e-2)
+
+    def test_any4q8r_rowscale(self):
+        # per-row-scale variant: plain [n, k] int8 + rank-1 affine
+        n, k = 64, 1024
+        w = jax.random.normal(jax.random.PRNGKey(65), (n, k)) * 0.05
+        qt = lin.quantize_tensor(w, "any4q8r", kmeans_iters=8)
+        assert qt.fmt == "any4q8r" and qt.packed.shape == (n, k)
+        assert qt.packed.dtype == jnp.int8 and qt.scales.shape == (1, n)
+        # whole-row any4 is coarser than g=128 but must stay sane: the
+        # LUT-snapped reconstruction tracks the weight
+        wd = np.asarray(lin.dequantize_tensor(qt, jnp.float32))
+        w0 = np.asarray(w)
+        assert np.mean((wd - w0) ** 2) < np.mean(w0 ** 2) * 0.05
+        for m in (1, 3, 200):
+            x = jax.random.normal(jax.random.PRNGKey(66), (m, k))
+            y = lin.linear(x, qt)
+            _assert_close(y, np.asarray(x, np.float32) @ wd.T, tol=2e-2)
+
+    def test_w8a8r_rowscale_matches_dequant(self):
+        n, k = 64, 1024
+        w = jax.random.normal(jax.random.PRNGKey(67), (n, k)) * 0.05
+        for fmt in ("w8a8r", "int8r"):
+            qt = lin.quantize_tensor(w, fmt)
+            assert qt.packed.shape == (n, k) and qt.scales.shape == (1, n)
+            wd = np.asarray(lin.dequantize_tensor(qt, jnp.float32))
+            x = jax.random.normal(jax.random.PRNGKey(68), (2, k))
+            y = lin.linear(x, qt)
+            _assert_close(y, np.asarray(x, np.float32) @ wd.T, tol=2e-2)
 
     def test_global_lut_variant(self):
         n, k = 64, 1024
@@ -851,3 +912,58 @@ class TestAny4Q8:
         x = jax.random.normal(jax.random.PRNGKey(64), (1, k))
         y = lin.linear(x, qt, interpret=INTERPRET)
         _assert_close(y, _ref(x, qt), tol=2e-2)
+
+
+class TestDefaultRouting:
+    """Round-5 format routing (VERDICT r4 #8): uniform int4 defaults to
+    the pair-packed magic-number layout wherever it applies, exactly as
+    any4 defaults to any4t; layout="row" (embeddings) opts out."""
+
+    def test_int4_defaults_to_pair_packing(self):
+        w = jax.random.normal(jax.random.PRNGKey(1), (64, 256), jnp.float32)
+        qt = lin.quantize_tensor(w, "int4", group_size=128)
+        assert qt.fmt == "int4p"
+        qrow = lin.quantize_tensor(w, "int4", group_size=128, layout="row")
+        assert qrow.fmt == "int4"
+        # identical numbers in either packing
+        np.testing.assert_array_equal(
+            np.asarray(lin.dequantize_tensor(qt, jnp.float32)),
+            np.asarray(lin.dequantize_tensor(qrow, jnp.float32)))
+
+    def test_int4_row_fallbacks(self):
+        # odd n and sub-128 groups keep the planar packing
+        w = jax.random.normal(jax.random.PRNGKey(2), (63, 256), jnp.float32)
+        assert lin.quantize_tensor(w, "int4", group_size=128).fmt == "int4"
+        w2 = jax.random.normal(jax.random.PRNGKey(3), (64, 256), jnp.float32)
+        assert lin.quantize_tensor(w2, "int4", group_size=64).fmt == "int4"
+
+
+class TestChunkedPrefill:
+    """Large-m linear for the bf16-dot formats chunks through the fused
+    kernel instead of dequantizing (VERDICT r4 #3: the int8 path's
+    _INT8_M_TILE treatment applied to 4-bit formats, killing the
+    long-prompt prefill collapse)."""
+
+    @pytest.mark.parametrize("fmt", ["int4", "any4", "nf4"])
+    def test_chunked_matches_dequant_path(self, fmt):
+        k, n, m = 256, 64, 40
+        w = jax.random.normal(jax.random.PRNGKey(4), (n, k), jnp.float32)
+        qt = lin.quantize_tensor(w, fmt, group_size=128)
+        x = jax.random.normal(jax.random.PRNGKey(5), (m, k), jnp.float32)
+        # fused_m_max=16 forces the chunk loop (3 tiles incl. a ragged
+        # one); fused_m_max=0 keeps the dequantize-then-matmul reference
+        # addressable
+        y = lin.linear(x, qt, fused_m_max=16, interpret=INTERPRET)
+        ref = lin.linear(x, qt, fused_m_max=0)
+        assert y.shape == (m, n)
+        _assert_close(y, ref)
+
+    def test_chunked_3d_batch_shape(self):
+        k, n = 256, 32
+        w = jax.random.normal(jax.random.PRNGKey(6), (n, k), jnp.float32)
+        qt = lin.quantize_tensor(w, "int4", group_size=128)
+        x = jax.random.normal(jax.random.PRNGKey(7), (2, 20, k), jnp.float32)
+        y = lin.linear(x, qt, fused_m_max=16, interpret=INTERPRET)
+        ref = lin.linear(x, qt, fused_m_max=0)
+        assert y.shape == (2, 20, n)
+        _assert_close(y, ref)

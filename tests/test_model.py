@@ -185,14 +185,30 @@ class TestCheckpoint:
                                    np.asarray(l1, np.float32), atol=1e-5)
 
 
+    def test_roundtrip_xla_fmts(self):
+        """Grouped (3-D packed) and per-row-scale tensors survive the
+        checkpoint round trip (round-5 XLA-dot formats)."""
+        w = jax.random.normal(jax.random.PRNGKey(41), (64, 1024))
+        for fmt in ("w8a8", "w8a8r"):
+            qt = lin.quantize_tensor(w, fmt, group_size=128)
+            with tempfile.TemporaryDirectory() as d:
+                checkpoint.save_params(d, {"w": qt})
+                loaded, _ = checkpoint.load_params(d)
+            qt2 = loaded["w"]
+            assert qt2.fmt == qt.fmt and qt2.group_size == qt.group_size
+            np.testing.assert_array_equal(
+                np.asarray(lin.dequantize_tensor(qt2)),
+                np.asarray(lin.dequantize_tensor(qt)))
+
     def test_roundtrip_row_sharded_unaligned(self):
         """row_shards with a k that pads per shard: reloading without the
         persisted row_shards would reinterpret the shard padding as
         contiguous columns (ADVICE round-1 medium finding)."""
         w = jax.random.normal(jax.random.PRNGKey(40), (64, 1536))
         qt = lin.quantize_tensor(w, "int4", group_size=128, row_shards=2)
-        # per-shard k=768 pads to 1024: packed has 2*128 words, not 192
-        assert qt.packed.shape[1] == 256
+        # int4 routes to the pair-packed layout (round 5): per-shard
+        # k=768 pads to 1024 -> 2 * 1024/4 word columns, not 2*192/...
+        assert qt.fmt == "int4p" and qt.packed.shape[1] == 512
         with tempfile.TemporaryDirectory() as d:
             checkpoint.save_params(d, {"w": qt})
             loaded, _ = checkpoint.load_params(d)

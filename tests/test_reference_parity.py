@@ -456,3 +456,190 @@ class TestAny4Q8ModelAccuracy:
         ppl_a = float(np.exp(nlls["any4"]))
         ppl_q8 = float(np.exp(nlls["any4q8"]))
         assert abs(ppl_q8 - ppl_a) <= 0.01 * ppl_a, (ppl_q8, ppl_a)
+
+
+# ours -> torch submodule path (shared by the model-parity classes)
+_NAME_MAP = {
+    "q_proj": "self_attn.q_proj", "k_proj": "self_attn.k_proj",
+    "v_proj": "self_attn.v_proj", "o_proj": "self_attn.o_proj",
+    "gate_proj": "mlp.gate_proj", "up_proj": "mlp.up_proj",
+    "down_proj": "mlp.down_proj",
+}
+
+
+class TestCalibratedModelParity:
+    """Model-level parity of the CALIBRATION-WEIGHTED any4 path (VERDICT
+    r4 next #5a/#5c): a 4-layer hidden-256 Llama (nontrivial
+    attention+MLP mixing), both pipelines quantizing with the SAME
+    per-layer mean-|activation| vectors and ``scale_sample_weight=True``
+    -- the exact path the reference's golden C4 value exercises
+    (quantize.py:56-63,548-551). Also pins the capture machinery itself:
+    our capture-dict calibration must agree with torch forward hooks on
+    the same token stream."""
+
+    @pytest.fixture(scope="class")
+    def calibrated_pair(self, ref):
+        transformers = pytest.importorskip("transformers")
+        import copy
+
+        import jax.numpy as jnp
+
+        from any4_tpu import calibrate as cal
+        from any4_tpu.models import loader
+        from any4_tpu.quant import api
+
+        torch = ref.torch
+        hf_cfg = transformers.LlamaConfig(
+            vocab_size=256, hidden_size=256, intermediate_size=512,
+            num_hidden_layers=4, num_attention_heads=4,
+            num_key_value_heads=2, max_position_embeddings=128,
+            tie_word_embeddings=False, attn_implementation="eager")
+        torch.manual_seed(1)
+        model = transformers.LlamaForCausalLM(hf_cfg).eval().float()
+        cfg, params = loader.convert_torch_llama(model, dtype=jnp.float32)
+        cfg = cfg.__class__(**{**cfg.__dict__, "dtype": jnp.float32})
+
+        rng = np.random.default_rng(11)
+        cal_ids = rng.integers(0, 256, (4, 64))
+        eval_ids = rng.integers(0, 256, (4, 64))
+
+        # our capture-dict calibration (mean |input| per linear)
+        acts = cal.calibrate(params, cfg, jnp.asarray(cal_ids, jnp.int32))
+
+        # torch-side mean |input| via forward hooks (the reference's
+        # calibrate.get_mean_activations mechanics, calibrate.py:41-66)
+        tsum, tcnt, hooks = {}, {}, []
+
+        def mk(name):
+            def hook(mod, inp, out):
+                x = inp[0].detach().double().abs()
+                x = x.reshape(-1, x.shape[-1])
+                if name in tsum:
+                    tsum[name] += x.sum(0)
+                    tcnt[name] += x.shape[0]
+                else:
+                    tsum[name] = x.sum(0)
+                    tcnt[name] = x.shape[0]
+            return hook
+
+        for name, mod in model.named_modules():
+            if isinstance(mod, torch.nn.Linear) and "lm_head" not in name:
+                hooks.append(mod.register_forward_hook(mk(name)))
+        with torch.no_grad():
+            model(input_ids=torch.from_numpy(cal_ids.astype(np.int64)))
+        for h in hooks:
+            h.remove()
+        tacts = {k: (v / tcnt[k]).float() for k, v in tsum.items()}
+
+        # reference pipeline with the torch-side calibration, weighted
+        model_q = copy.deepcopy(model)
+        ref.q.any4(model_q, pseudo=True, parallelize=False,
+                   sample_weight=tacts, scale_sample_weight=True)
+
+        # our pipeline with our calibration, same options
+        qparams = api.quantize_model(
+            params, fmt="any4", group_size=128, pseudo=True,
+            kmeans_iters=50, n_init=3,
+            sample_weight={k: np.asarray(v) for k, v in acts.items()},
+            scale_sample_weight=True)
+
+        return (model, model_q, cfg, params, qparams, eval_ids, acts,
+                tacts)
+
+    def test_capture_matches_torch_hooks(self, ref, calibrated_pair):
+        *_, acts, tacts = calibrated_pair
+        checked = 0
+        for i in (0, 1, 2, 3):
+            for ours, theirs in _NAME_MAP.items():
+                a = np.asarray(acts[f"layers.{i}.{ours}"], np.float64)
+                t = tacts[f"model.layers.{i}.{theirs}"].numpy()
+                scale = max(float(np.abs(t).max()), 1e-6)
+                np.testing.assert_allclose(a / scale, t / scale,
+                                           atol=2e-3, rtol=0)
+                checked += 1
+        assert checked == 4 * len(_NAME_MAP)
+
+    def test_calibrated_ppl_within_1pct(self, ref, calibrated_pair):
+        model, model_q, cfg, params, qparams, ids, *_ = calibrated_pair
+        nll_t0 = TestModelParity._torch_nll(ref, model, ids)
+        nll_j0 = TestModelParity._jax_nll(params, cfg, ids)
+        assert abs(nll_t0 - nll_j0) < 1e-3, (nll_t0, nll_j0)
+        nll_t = TestModelParity._torch_nll(ref, model_q, ids)
+        nll_j = TestModelParity._jax_nll(qparams, cfg, ids)
+        ppl_t, ppl_j = np.exp(nll_t), np.exp(nll_j)
+        assert abs(ppl_j - ppl_t) <= 0.01 * ppl_t, (ppl_j, ppl_t)
+        d_t, d_j = abs(nll_t - nll_t0), abs(nll_j - nll_j0)
+        assert d_j <= max(d_t * 2.0, 5e-3), (d_j, d_t)
+
+    def test_calibrated_per_layer_wmse(self, ref, calibrated_pair):
+        model, model_q, cfg, params, qparams, *_ = calibrated_pair
+        sd0 = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+        sdq = {k: v.detach().numpy()
+               for k, v in model_q.state_dict().items()}
+        checked = 0
+        for i in range(cfg.num_hidden_layers):
+            for ours, theirs in _NAME_MAP.items():
+                w0 = sd0[f"model.layers.{i}.{theirs}.weight"]
+                wr = sdq[f"model.layers.{i}.{theirs}.weight"]
+                assert not np.array_equal(w0, wr)
+                wo = np.asarray(qparams["layers"][i][ours], np.float32)
+                assert _wmse(w0, wo) <= _wmse(w0, wr) * 1.05, \
+                    (i, ours, _wmse(w0, wo), _wmse(w0, wr))
+                checked += 1
+        assert checked == cfg.num_hidden_layers * len(_NAME_MAP)
+
+
+class TestQualityOrdering:
+    """Accuracy-per-byte ordering at equal bits/group: any4 <= nf4 <= fp4
+    (BASELINE.md group-size-ablation table; reference README.md:331-338).
+    The reference's own nf4/fp4 run through bitsandbytes, which this
+    container lacks (like lm_eval) -- so the ordering is pinned on OUR
+    implementations, whose nf4/fp4 codebooks are constant-pinned in
+    tests/test_quant.py and whose any4 learner is W-MSE-parity-pinned
+    against the reference above."""
+
+    @pytest.mark.parametrize("g", [64, 128, 256])
+    def test_wmse_ordering(self, g):
+        import jax.numpy as jnp
+
+        from any4_tpu.ops import linear as lin
+        w = _w((64, 1024), seed=g)
+        mses = {}
+        for fmt in ("any4", "nf4", "fp4"):
+            kw = dict(kmeans_iters=50, n_init=3) if fmt == "any4" else {}
+            qt = lin.quantize_tensor(jnp.asarray(w), fmt, group_size=g,
+                                     **kw)
+            mses[fmt] = _wmse(w, np.asarray(
+                lin.dequantize_tensor(qt, jnp.float32)))
+        assert mses["any4"] <= mses["nf4"] * 1.01, mses
+        assert mses["nf4"] <= mses["fp4"] * 1.01, mses
+
+    def test_model_ppl_ordering(self, ref):
+        transformers = pytest.importorskip("transformers")
+        import jax.numpy as jnp
+
+        from any4_tpu.models import loader
+        from any4_tpu.quant import api
+
+        torch = ref.torch
+        hf_cfg = transformers.LlamaConfig(
+            vocab_size=256, hidden_size=128, intermediate_size=256,
+            num_hidden_layers=2, num_attention_heads=4,
+            num_key_value_heads=2, max_position_embeddings=128,
+            tie_word_embeddings=False, attn_implementation="eager")
+        torch.manual_seed(3)
+        model = transformers.LlamaForCausalLM(hf_cfg).eval().float()
+        cfg, params = loader.convert_torch_llama(model, dtype=jnp.float32)
+        cfg = cfg.__class__(**{**cfg.__dict__, "dtype": jnp.float32})
+        ids = np.random.default_rng(13).integers(0, 256, (4, 64))
+        nll = {}
+        for fmt in ("any4", "nf4", "fp4"):
+            kw = dict(kmeans_iters=50, n_init=3) if fmt == "any4" else {}
+            qp = api.quantize_model(params, fmt=fmt, group_size=128,
+                                    pseudo=True, **kw)
+            nll[fmt] = TestModelParity._jax_nll(qp, cfg, ids)
+        ppl = {k: float(np.exp(v)) for k, v in nll.items()}
+        # ordering with a little slack (a 2-layer random-init model is a
+        # noisier judge than the 1B C4 table this mirrors)
+        assert ppl["any4"] <= ppl["nf4"] * 1.02, ppl
+        assert ppl["nf4"] <= ppl["fp4"] * 1.02, ppl

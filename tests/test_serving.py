@@ -746,3 +746,27 @@ class TestPipelinedBursts:
         e2 = eng.Engine(params, cfg, max_slots=1, max_ctx=64, page_size=8)
         e2.submit(prompt, max_new_tokens=12, eos_token_id=eos)
         assert e2.run(burst=2)[0].out_tokens == want
+
+
+class TestUpstreamQuantizedPages:
+    """Shape-level pin of the upstream-kernel quantized dispatch (ADVICE
+    r4 medium): our scale pools are 3-D [h, P, ps] while the upstream
+    paged_attention kernel dequantizes with a broadcast over head_dim
+    written for [h, P, ps, 1] scales -- _upstream_quantized_pages must
+    restore the trailing axis or the (h,P,ps)->(h,P,hd) broadcast raises
+    for ps != hd."""
+
+    def test_scale_axis_restored_and_dequant_correct(self):
+        from jax.experimental.pallas.ops.tpu.paged_attention import (
+            quantization_utils as qu)
+        h, P, ps, d = 2, 3, 16, 64     # ps != d on purpose
+        x = jax.random.normal(jax.random.PRNGKey(0), (h, P, ps, d),
+                              jnp.float32)
+        amax = jnp.max(jnp.abs(x), axis=-1)              # 3-D [h, P, ps]
+        codes = qu.to_int8(x, amax[..., None])
+        qt = kvc._upstream_quantized_pages((codes, amax))
+        assert qt.scales.shape == (h, P, ps, 1)
+        rec = qu.unquantize_from_int8(qt, jnp.float32)
+        assert rec.shape == x.shape
+        np.testing.assert_allclose(np.asarray(rec), np.asarray(x),
+                                   atol=float(jnp.max(amax)) / 100.0)

@@ -69,14 +69,22 @@ def main():
                         "flagship vs the dense stack")
     p.add_argument("--rounds", type=int, default=3,
                    help="alternating timed rounds per config")
+    p.add_argument("--host-init", action="store_true",
+                   help="build random weights host-side and move them to "
+                        "HBM only as quantized tensors (8B flagship: the "
+                        "bf16 form exceeds HBM); implies --ab-mode solo")
+    p.add_argument("--hbm-gbps", type=float, default=730.0)
     p.add_argument("--ab-mode", default="quant",
-                   choices=["quant", "kvcap", "kvq"],
+                   choices=["quant", "kvcap", "kvq", "solo"],
                    help="quant: bf16 vs quantized weights (default). "
                         "kvcap: BOTH arms quantized weights; arm A keeps "
                         "bf16 KV at --slots, arm B takes int8 KV at 2x "
                         "slots -- the same KV HBM budget buys twice the "
                         "batch, demonstrating what KV quantization is FOR "
-                        "(capacity, VERDICT r3 next #5)")
+                        "(capacity, VERDICT r3 next #5). "
+                        "solo: quantized engine ONLY, reported against "
+                        "its own HBM roofline -- for models whose bf16 "
+                        "arm cannot fit (the 8B flagship)")
     p.add_argument("--fuse", action="store_true",
                    help="fuse qkv/gateup (and per-expert w1/w3 -> w13) in "
                         "BOTH arms before building engines")
@@ -94,14 +102,21 @@ def main():
     from any4_tpu.quant import api
     from any4_tpu.serving import engine as eng
 
+    if args.host_init:
+        args.ab_mode = "solo"
     if args.size in MOE_SIZES:
         from any4_tpu.models import mixtral
         cfg = mixtral.MixtralConfig(**MOE_SIZES[args.size])
         params = mixtral.init_params(cfg, jax.random.PRNGKey(0))
     else:
         cfg = llama.LlamaConfig(**SIZES[args.size])
-        params = llama.init_params(cfg, jax.random.PRNGKey(0))
-    kw = dict(kmeans_iters=4) if args.fmt == "any4" else {}
+        if args.host_init:
+            from tools.bench_decode import host_init_params
+            params = host_init_params(cfg, seed=0)
+        else:
+            params = llama.init_params(cfg, jax.random.PRNGKey(0))
+    kw = dict(kmeans_iters=4) if args.fmt in ("any4", "any4t",
+                                              "any4q8") else {}
     if args.quantize_embeddings:
         kw["quantize_embeddings"] = args.quantize_embeddings
     if args.stack_experts:
@@ -112,6 +127,14 @@ def main():
         params, group_size=args.group_size, **kw)
     print(f"quantized ({args.fmt}) in {time.time()-t0:.0f}s",
           file=sys.stderr)
+    if args.host_init:
+        import jax.numpy as jnp
+        qparams = jax.tree.map(
+            lambda a: jnp.asarray(a, jnp.bfloat16)
+            if isinstance(a, np.ndarray) else a, qparams,
+            is_leaf=lambda a: isinstance(a, np.ndarray))
+        del params
+        params = None
     if args.fuse:
         from any4_tpu.models import fuse
         params = fuse.fuse_projections(params)
@@ -136,6 +159,11 @@ def main():
         arm_a, arm_b = "bf16kv", f"{args.fmt}+kvq"
         engines = {arm_a: make_engine(qparams),
                    arm_b: make_engine(qparams, kvq=True)}
+    elif args.ab_mode == "solo":
+        # flagship scale: no bf16 arm fits -- measure the quantized
+        # engine alone and report against its own HBM roofline
+        arm_a = arm_b = args.fmt
+        engines = {arm_b: make_engine(qparams, kvq=args.kv_quantize)}
     else:
         arm_a, arm_b = "bf16", args.fmt
         engines = {arm_a: make_engine(params),
@@ -176,9 +204,19 @@ def main():
            "requests": args.requests,
            "new_tokens": args.new_tokens,
            "ab_mode": args.ab_mode, "stack_experts": args.stack_experts,
-           "rounds": rounds,
-           "bf16_tok_s": best[arm_a], "tok_s": best[arm_b],
-           "speedup": round(best[arm_b] / best[arm_a], 3)}
+           "rounds": rounds, "tok_s": best[arm_b]}
+    if args.ab_mode == "solo":
+        from tools.bench_decode import decode_stream_bytes
+        dbytes = decode_stream_bytes(qparams, cfg)
+        out["decode_stream_mb"] = round(dbytes / 1e6, 1)
+        # batched decode reads the weights once per step for all slots
+        out["roofline_tok_s"] = round(
+            args.slots * args.hbm_gbps * 1e9 / dbytes, 1)
+        out["pct_of_roofline"] = round(
+            100.0 * best[arm_b] / out["roofline_tok_s"], 1)
+    else:
+        out["bf16_tok_s"] = best[arm_a]
+        out["speedup"] = round(best[arm_b] / best[arm_a], 3)
     line = json.dumps(out)
     print(line)
     if args.out:
