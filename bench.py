@@ -324,9 +324,9 @@ def main():
     # attach the north-star e2e artifact (tokens/s/chip quantized decode,
     # tools/bench_decode.py) when a recorded run exists
     decode = {}
-    for fmt in ("w4a8", "int4p", "any4t", "any4", "any4q8"):
-        for tag in ("qemb_r4", "r4", "qemb_r3", "r3", "burst256", "burst",
-                    "r2b", "r2"):
+    for fmt in ("w4a8", "int4p", "any4t", "any4", "any4q8", "any4q8r"):
+        for tag in ("qemb_r5", "r5", "qemb_r4", "r4", "qemb_r3", "r3",
+                    "burst256", "burst", "r2b", "r2"):
             try:
                 with open(f"benchmarks/bench_decode_1b_{fmt}_{tag}.log") as f:
                     for ln in f:
