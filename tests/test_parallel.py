@@ -260,6 +260,58 @@ class TestW4A8TP:
                                    np.asarray(ref, np.float32),
                                    atol=8e-2, rtol=8e-2)
 
+    @pytest.mark.parametrize("fmt", ["w8a8", "w8a8r", "any4q8r"])
+    def test_quantized_tp_matches_single_xla_fmts(self, tiny, fmt):
+        """Round-5 XLA-dot formats under full TP: the grouped layout
+        shards n on packed axis 1 / k on axis 0; the per-row-scale
+        layout shards plain [n, k] with replicated per-row scales whose
+        rank-1 affine partials psum linearly."""
+        cfg = llama.LlamaConfig(vocab_size=128, hidden_size=512,
+                                intermediate_size=512, num_hidden_layers=1,
+                                num_attention_heads=8,
+                                num_key_value_heads=4, head_dim=64,
+                                tie_word_embeddings=True,
+                                dtype=jnp.float32)
+        params = llama.init_params(cfg, jax.random.PRNGKey(41))
+        kw = dict(kmeans_iters=4) if fmt == "any4q8r" else {}
+        qparams = api.quantize_model(params, fmt=fmt, group_size=128,
+                                     row_parallel_shards=4, **kw)
+        want = {"w8a8": "w8a8g", "w8a8r": "w8a8r",
+                "any4q8r": "any4q8r"}[fmt]
+        assert qparams["layers"][0]["q_proj"].fmt == want
+        mesh = tp.make_mesh(dp=2, tp=4)
+        sharded, specs = tp.shard_params(qparams, mesh)
+        fwd = tp.make_tp_forward(cfg, mesh, specs)
+        ids = jax.random.randint(jax.random.PRNGKey(42), (2, 8), 0,
+                                 cfg.vocab_size)
+        ref, _ = llama.forward(qparams, cfg, ids, interpret=True)
+        out = fwd(sharded, ids)
+        np.testing.assert_allclose(np.asarray(out, np.float32),
+                                   np.asarray(ref, np.float32),
+                                   atol=8e-2, rtol=8e-2)
+
+    def test_interleave_rows_grouped_and_rowscale(self):
+        """Fused-projection reshard for the XLA-dot layouts (round 5):
+        output rows live on packed axis 1 (grouped) / axis 0 (rowscale)."""
+        from any4_tpu.models.fuse import concat_quantized
+        from any4_tpu.ops import linear as lin
+        from any4_tpu.parallel.tp import _interleave_rows
+        k, tpn = 256, 2
+        for fmt in ("w8a8", "w8a8r"):
+            parts = []
+            for s in range(2):
+                w = jax.random.normal(jax.random.PRNGKey(50 + s), (64, k))
+                parts.append(lin.quantize_tensor(w, fmt, group_size=128))
+            fused = concat_quantized(parts)
+            out = _interleave_rows(fused, [64, 64], tpn)
+            ref = np.concatenate(
+                [np.asarray(lin.dequantize_tensor(p, dtype=jnp.float32))
+                 for p in parts])
+            order = np.concatenate([np.r_[0:32, 64:96], np.r_[32:64, 96:128]])
+            np.testing.assert_allclose(
+                np.asarray(lin.dequantize_tensor(out, dtype=jnp.float32)),
+                ref[order], rtol=1e-5, atol=1e-6)
+
     def test_quantized_embeddings_tp_matches_single(self, tiny):
         """Quantized (tied) embedding tables under TP: the table is
         replicated, the lookup gathers per shard, and the tied lm_head

@@ -141,8 +141,9 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--size", default="1b", choices=sorted(SIZES))
     p.add_argument("--fmt", default="int4",
-                   choices=["int4", "int4p", "int8", "int8p", "any4",
-                            "any4t", "any4q8", "nf4", "w4a8", "w8a8"])
+                   choices=["int4", "int4p", "int8", "int8p", "int8r",
+                            "any4", "any4t", "any4q8", "any4q8r", "nf4",
+                            "w4a8", "w8a8", "w8a8r"])
     p.add_argument("--batch", type=int, default=1)
     p.add_argument("--prompt-len", type=int, default=128)
     p.add_argument("--new-tokens", type=int, default=32)

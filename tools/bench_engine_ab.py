@@ -69,6 +69,9 @@ def main():
                         "flagship vs the dense stack")
     p.add_argument("--rounds", type=int, default=3,
                    help="alternating timed rounds per config")
+    p.add_argument("--quantize-lm-head", action="store_true",
+                   help="quantize the UNTIED lm_head too (the 8B head "
+                        "is ~1 GB of bf16 HBM read per decode step)")
     p.add_argument("--host-init", action="store_true",
                    help="build random weights host-side and move them to "
                         "HBM only as quantized tensors (8B flagship: the "
@@ -115,10 +118,12 @@ def main():
             params = host_init_params(cfg, seed=0)
         else:
             params = llama.init_params(cfg, jax.random.PRNGKey(0))
-    kw = dict(kmeans_iters=4) if args.fmt in ("any4", "any4t",
-                                              "any4q8") else {}
+    kw = dict(kmeans_iters=4) if args.fmt in ("any4", "any4t", "any4q8",
+                                              "any4q8r") else {}
     if args.quantize_embeddings:
         kw["quantize_embeddings"] = args.quantize_embeddings
+    if args.quantize_lm_head:
+        kw["skip_modules"] = []
     if args.stack_experts:
         from any4_tpu.models import fuse
         params = fuse.stack_experts(params)
