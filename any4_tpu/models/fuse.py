@@ -30,13 +30,15 @@ def concat_quantized(parts: List[QuantizedTensor]) -> QuantizedTensor:
             "fused projections must share quantization format/group"
         assert p.shape[1] == first.shape[1], "fused projections must share k"
         assert p.row_shards == first.row_shards
-    from ..ops.linear import _GROUPED_FMTS
+    from ..ops.linear import _GROUPED_FMTS, _ROWSCALE_FMTS
     transposed = first.fmt in TRANSPOSED_FMTS
     # transposed packings carry output rows on AXIS 1 of packed/lut; the
-    # grouped XLA layout [G, n, 128] likewise carries n on axis 1
+    # XLA-dot layouts (grouped [G, n, 128] and rowscale [k, n]) likewise
+    # carry n on axis 1
     packed = jnp.concatenate(
         [p.packed for p in parts],
-        axis=1 if transposed or first.fmt in _GROUPED_FMTS else 0)
+        axis=1 if transposed or first.fmt in _GROUPED_FMTS
+        or first.fmt in _ROWSCALE_FMTS else 0)
     scales = jnp.concatenate([p.scales for p in parts], axis=1)
     zeros = jnp.concatenate([p.zeros for p in parts], axis=1)
     row_lut = first.lut is not None and (

@@ -182,17 +182,25 @@ def quantize_tensor(w: jax.Array, fmt: str = "any4", group_size: int = 128,
         fmt = "int4p"
     if fmt in ("w8a8", "int8", "any4q8") and layout != "row" \
             and group_size % 128 == 0:
-        # int8-weight formats default to the GROUPED XLA-dot layout
-        # (round 5): Mosaic stages weight bytes at ~250-280 GB/s however
-        # the DMA is pipelined, while XLA's own int8 dot streams them at
-        # ~654 GB/s -- 59.8 -> 25.8-37.4 us/layer at 4096^2 m<=64 with
-        # numerics IDENTICAL to the round-4 quad kernels
-        # (benchmarks/lab_staging_r5.json, lab_xla8_r5.json; PERF_NOTES
-        # round 5). The quad layouts stay addressable as
-        # w8a8q/int8q/any4q8 explicit. Row-major remains for embeddings
-        # (layout="row") and g % 128 != 0.
-        fmt = {"w8a8": "w8a8g", "int8": "int8g",
-               "any4q8": "any4q8g"}[fmt]
+        # int8-weight routing is k-DEPENDENT (round 5, both measured):
+        # - k >= 4096: the GROUPED XLA-dot layout. Mosaic stages weight
+        #   bytes at ~250-280 GB/s however the DMA is pipelined while
+        #   XLA's own int8 dot streams them at ~654 GB/s, so large
+        #   blocks move 59.8 -> 25.8-37.4 us/layer at 4096^2 m<=64 with
+        #   numerics IDENTICAL to the quad kernels (lab_staging_r5,
+        #   lab_xla8_r5).
+        # - k < 4096: the quad-word Pallas kernel. Small per-layer
+        #   blocks sit at their HBM floor already and the grouped
+        #   path's affine einsums cost more than they save (1B e2e
+        #   any4q8: quad 595 tok/s vs grouped 421;
+        #   bench_decode_1b_any4q8_qemb_r{4,5}).
+        # Row-major remains for embeddings (layout="row") and
+        # g % 128 != 0; all layouts stay explicitly addressable.
+        if k >= 4096 or n % 4 != 0:
+            fmt = {"w8a8": "w8a8g", "int8": "int8g",
+                   "any4q8": "any4q8g"}[fmt]
+        elif fmt != "any4q8":
+            fmt = {"w8a8": "w8a8q", "int8": "int8q"}[fmt]
     host_input = isinstance(w, _np.ndarray)
     int_zeros = bool(kwargs.pop("int_zeros", False))
     assert not int_zeros or fmt in ("int4", "int4p", "int8", "int8p",
@@ -464,12 +472,12 @@ def dequantize_tensor(qt: QuantizedTensor, dtype=None) -> jax.Array:
     TinyGemmDequantize.cu:19-58)."""
     from dataclasses import replace as _replace
     if qt.fmt in _ROWSCALE_FMTS:
-        # plain [n(_local), k(_local)] int8 + per-row affine; unpadded,
-        # so shard-local leaves reconstruct with the same expression
+        # [k(_local), n(_local)] int8 + per-row affine; unpadded, so
+        # shard-local leaves reconstruct with the same expression
         dtype = dtype or qt.dtype
         s = qt.scales.T          # [n_local, 1]
         z = qt.zeros.T
-        return (qt.packed.astype(jnp.float32) * s + z).astype(dtype)
+        return (qt.packed.T.astype(jnp.float32) * s + z).astype(dtype)
     if qt.fmt in _GROUPED_FMTS:
         dtype = dtype or qt.dtype
         n, k = qt.shape
@@ -653,23 +661,26 @@ def quantize_activations(x: jax.Array, eps: float = gemv.ACT_EPS):
 
 def _xla_rowscale_linear(x: jax.Array, w: QuantizedTensor) -> jax.Array:
     """Per-row-scale int8 linear on the plain XLA dot (w8a8r/int8r/
-    any4q8r): ``y = (x . W8^T) * s_n + sum(x) * z_n`` -- one full-k
+    any4q8r): ``y = (x . W8) * s_n + sum(x) * z_n`` -- one full-k
     contraction at XLA's streaming rate plus a rank-1 affine. Works at
-    every m (no per-group partials to materialize)."""
-    packed, s, z = w.packed, w.scales, w.zeros       # [n_l, k_l], [1, n_l]
+    every m (no per-group partials to materialize). The weight is
+    stored ``[k, n]`` so the contraction is in natural orientation --
+    the [n, k] dim-1 form makes XLA re-lay the operand out per scan
+    step at large shapes (probe_rowscale_mem_r5)."""
+    packed, s, z = w.packed, w.scales, w.zeros       # [k_l, n_l], [1, n_l]
     lead = x.shape[:-1]
     x2 = x.reshape(-1, x.shape[-1])
-    n_local = packed.shape[0]
+    n_local = packed.shape[1]
     if w.fmt == "int8r":
         P = jax.lax.dot_general(
             x2.astype(jnp.bfloat16), packed.astype(jnp.bfloat16),
-            (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
         xs = jnp.sum(x2.astype(jnp.float32), axis=1, keepdims=True)
         y = P * s + xs * z
     else:
         xq, sx = quantize_activations(x2)
         P = jax.lax.dot_general(
-            xq, packed, (((1,), (1,)), ((), ())),
+            xq, packed, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32).astype(jnp.float32)
         xs = jnp.sum(xq.astype(jnp.int32), axis=1,
                      keepdims=True).astype(jnp.float32)

@@ -355,15 +355,21 @@ def unpack_int8_grouped(packed: jax.Array, k: int, shards: int = 1
 
 
 def pack_rowscale(q: jax.Array, shards: int = 1) -> jax.Array:
-    """Plain ``[n, k] int8`` for the per-row-scale XLA-dot formats
-    (w8a8r/int8r/any4q8r): no padding, no word packing -- XLA streams
-    the natural layout at the HBM-class rate the Pallas kernels cannot
-    reach (lab_staging_r5). A contiguous k split needs no per-shard
-    padding, so ``shards`` only asserts divisibility."""
+    """``[k, n] int8`` (transposed at pack time) for the per-row-scale
+    XLA-dot formats (w8a8r/int8r/any4q8r): no padding, no word packing
+    -- XLA streams the natural dot orientation at the HBM-class rate
+    the Pallas kernels cannot reach (lab_staging_r5). The [n, k]
+    orientation with a dim-1 contraction is a trap: inside a decode
+    scan XLA re-lays the weight out PER STEP at large shapes (measured
+    ~5000x slower and the 8B any4q8r OOM;
+    benchmarks/probe_rowscale_mem_r5.json), while [k, n] contracts
+    directly. A contiguous k split needs no per-shard padding, so
+    ``shards`` only asserts divisibility (row-parallel TP splits
+    axis 0)."""
     n, k = q.shape
     if shards > 1:
         assert k % shards == 0, f"k={k} not divisible by shards={shards}"
-    return q.astype(jnp.int8)
+    return q.T.astype(jnp.int8)
 
 
 def pack_int4_transposed(codes: jax.Array, shards: int = 1) -> jax.Array:

@@ -75,17 +75,17 @@ def _qt_spec(kind: str, qt: lin.QuantizedTensor) -> lin.QuantizedTensor:
             group_size=qt.group_size, shape=qt.shape, dtype=qt.dtype,
             row_shards=qt.row_shards)
     if qt.fmt in lin._ROWSCALE_FMTS:
-        # plain [n, k] int8 with per-row scales [1, n]: n-sharding
-        # splits both; k-sharding splits packed only (scales replicate,
-        # the rank-1 affine partials psum linearly)
+        # [k, n] int8 with per-row scales [1, n]: n-sharding splits
+        # packed axis 1 + scales; k-sharding splits packed axis 0 only
+        # (scales replicate, the rank-1 affine partials psum linearly)
         if kind == "col":
             return lin.QuantizedTensor(
-                packed=P("tp", None), scales=P(None, "tp"),
+                packed=P(None, "tp"), scales=P(None, "tp"),
                 zeros=P(None, "tp"), lut=None, fmt=qt.fmt,
                 group_size=qt.group_size, shape=qt.shape,
                 dtype=qt.dtype, row_shards=qt.row_shards)
         return lin.QuantizedTensor(
-            packed=P(None, "tp"), scales=P(None, None),
+            packed=P("tp", None), scales=P(None, None),
             zeros=P(None, None), lut=None, fmt=qt.fmt,
             group_size=qt.group_size, shape=qt.shape, dtype=qt.dtype,
             row_shards=qt.row_shards)
@@ -177,14 +177,12 @@ def _interleave_rows(leaf, sizes, tp: int):
             order.extend(range(off + i * per, off + (i + 1) * per))
     order = np.asarray(order)
     if isinstance(leaf, lin.QuantizedTensor):
-        if leaf.fmt in lin._GROUPED_FMTS:
-            # grouped layout: output rows on axis 1 of packed
+        if leaf.fmt in lin._GROUPED_FMTS or leaf.fmt in lin._ROWSCALE_FMTS:
+            # XLA-dot layouts: output rows on axis 1 of packed
+            # (grouped [G, n, 128] indexes axis 1 the same way as
+            # rowscale [k, n])
             return dataclasses.replace(
                 leaf, packed=leaf.packed[:, order],
-                scales=leaf.scales[:, order], zeros=leaf.zeros[:, order])
-        if leaf.fmt in lin._ROWSCALE_FMTS:
-            return dataclasses.replace(
-                leaf, packed=leaf.packed[order],
                 scales=leaf.scales[:, order], zeros=leaf.zeros[:, order])
         if leaf.fmt in lin.TRANSPOSED_FMTS:
             # transposed layout: output rows live on AXIS 1 of packed/lut

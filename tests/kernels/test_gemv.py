@@ -747,29 +747,36 @@ class TestTransposedInt8:
         np.testing.assert_array_equal(np.asarray(back2),
                                       np.asarray(q[:, :1024]))
 
-    def test_int8_defaults_to_grouped(self):
-        # round 5: int8-weight formats default to the grouped XLA-dot
-        # layout (the Mosaic staging wall does not apply to XLA's own
-        # dot; PERF_NOTES round 5). Quad stays addressable explicitly.
+    def test_int8_routing_is_k_dependent(self):
+        # round 5: int8-weight formats route by k -- small blocks sit at
+        # their HBM floor on the quad Pallas kernel, large blocks escape
+        # the Mosaic staging wall on the grouped XLA dot (PERF_NOTES
+        # round 5). All layouts reconstruct identically.
         w = jax.random.normal(jax.random.PRNGKey(51), (64, 1024))
-        for fmt, want in (("int8", "int8g"), ("w8a8", "w8a8g")):
+        wl = jax.random.normal(jax.random.PRNGKey(52), (64, 4096)) * 0.1
+        for fmt in ("int8", "w8a8"):
             qt = lin.quantize_tensor(w, fmt, group_size=128)
-            assert qt.fmt == want and qt.packed.shape == (8, 64, 128)
-            assert qt.packed.dtype == jnp.int8
+            assert qt.fmt == fmt + "q" and qt.packed.dtype == jnp.int32
+            qg = lin.quantize_tensor(wl, fmt, group_size=128)
+            assert qg.fmt == fmt + "g" \
+                and qg.packed.shape == (32, 64, 128) \
+                and qg.packed.dtype == jnp.int8
             qr = lin.quantize_tensor(w, fmt, group_size=128, layout="row")
             assert qr.fmt == fmt
-            # same numbers either layout
+            # same numbers in every layout
             np.testing.assert_allclose(
                 np.asarray(lin.dequantize_tensor(qt, dtype=jnp.float32)),
                 np.asarray(lin.dequantize_tensor(qr, dtype=jnp.float32)),
                 rtol=0, atol=0)
-            # and the quad kernel layout still matches, bit for bit
-            qq = lin.quantize_tensor(w, fmt + "q", group_size=128)
-            assert qq.fmt == fmt + "q" and qq.packed.dtype == jnp.int32
+            qgq = lin.quantize_tensor(wl, fmt + "q", group_size=128)
             np.testing.assert_allclose(
-                np.asarray(lin.dequantize_tensor(qt, dtype=jnp.float32)),
-                np.asarray(lin.dequantize_tensor(qq, dtype=jnp.float32)),
+                np.asarray(lin.dequantize_tensor(qg, dtype=jnp.float32)),
+                np.asarray(lin.dequantize_tensor(qgq, dtype=jnp.float32)),
                 rtol=0, atol=0)
+        # odd n cannot quad-pack: grouped at any k
+        w3 = jax.random.normal(jax.random.PRNGKey(53), (63, 1024))
+        assert lin.quantize_tensor(w3, "int8", group_size=128).fmt \
+            == "int8g"
         # g < 128 keeps the row-major fused-table path
         q32 = lin.quantize_tensor(w, "int8", group_size=64)
         assert q32.fmt == "int8"
@@ -788,15 +795,29 @@ class TestTransposedInt8:
     @pytest.mark.parametrize("fmt", ["int8", "w8a8"])
     @pytest.mark.parametrize("m", [1, 4, 80, 200])
     def test_matches_dequant_reference(self, fmt, m):
-        # m=200 > _XLA_GROUPED_M_MAX exercises the dequantize fallback
+        # k=2048 routes to the quad Pallas kernel (k-dependent routing)
         n, k = 256, 2048
         w = jax.random.normal(jax.random.PRNGKey(52), (n, k)) * 0.05
         qt = lin.quantize_tensor(w, fmt, group_size=128)
-        assert qt.fmt.endswith("g")
+        assert qt.fmt.endswith("q")
         x = jax.random.normal(jax.random.PRNGKey(53), (m, k))
         y = lin.linear(x, qt, interpret=INTERPRET)
         ref = _ref(x, qt)
         # w8a8 adds per-row int8 activation quantization (~1/127 rel)
+        _assert_close(y, ref, tol=2e-2 if fmt == "w8a8" else 5e-3)
+
+    @pytest.mark.parametrize("fmt", ["int8", "w8a8"])
+    @pytest.mark.parametrize("m", [1, 80, 200])
+    def test_grouped_matches_dequant_reference(self, fmt, m):
+        # k=4096 routes to the grouped XLA path; m=200 >
+        # _XLA_GROUPED_M_MAX exercises its dequantize fallback
+        n, k = 64, 4096
+        w = jax.random.normal(jax.random.PRNGKey(54), (n, k)) * 0.05
+        qt = lin.quantize_tensor(w, fmt, group_size=128)
+        assert qt.fmt.endswith("g")
+        x = jax.random.normal(jax.random.PRNGKey(55), (m, k))
+        y = lin.linear(x, qt, interpret=INTERPRET)
+        ref = _ref(x, qt)
         _assert_close(y, ref, tol=2e-2 if fmt == "w8a8" else 5e-3)
 
     def test_w8a8t_external_act_quant_matches_fused(self):
@@ -858,30 +879,35 @@ class TestAny4Q8:
     def test_linear_matches_dequant(self):
         n, k = 128, 1024
         w = jax.random.normal(jax.random.PRNGKey(61), (n, k)) * 0.05
-        # default routes to the grouped XLA layout (round 5)
+        # k < 4096 keeps the quad Pallas kernel (k-dependent routing)
         qt = lin.quantize_tensor(w, "any4q8", group_size=128,
                                  kmeans_iters=6)
-        assert qt.fmt == "any4q8g" and qt.lut is None
-        assert qt.packed.dtype == jnp.int8
-        assert qt.packed.shape == (k // 128, n, 128)
+        assert qt.fmt == "any4q8" and qt.lut is None
+        assert qt.packed.dtype == jnp.int32
+        assert qt.packed.shape == (n // 4, k)
         x = jax.random.normal(jax.random.PRNGKey(62), (2, k))
         y = lin.linear(x, qt, interpret=INTERPRET)
         _assert_close(y, _ref(x, qt), tol=2e-2)
-        # the quad Pallas layout stays addressable via layout="row" and
-        # reconstructs the same numbers
-        qq = lin.quantize_tensor(w, "any4q8", group_size=128,
-                                 kmeans_iters=6, layout="row")
-        assert qq.fmt == "any4q8" and qq.packed.dtype == jnp.int32
-        assert qq.packed.shape == (n // 4, k)
-        yq = lin.linear(x, qq, interpret=INTERPRET)
-        _assert_close(yq, _ref(x, qq), tol=2e-2)
+
+    def test_grouped_at_large_k(self):
+        # k >= 4096 routes to the grouped XLA layout (round 5)
+        n, k = 64, 4096
+        w = jax.random.normal(jax.random.PRNGKey(69), (n, k)) * 0.05
+        qt = lin.quantize_tensor(w, "any4q8", group_size=128,
+                                 kmeans_iters=4)
+        assert qt.fmt == "any4q8g" and qt.lut is None
+        assert qt.packed.dtype == jnp.int8
+        assert qt.packed.shape == (k // 128, n, 128)
+        x = jax.random.normal(jax.random.PRNGKey(70), (2, k))
+        y = lin.linear(x, qt, interpret=INTERPRET)
+        _assert_close(y, _ref(x, qt), tol=2e-2)
 
     def test_any4q8r_rowscale(self):
         # per-row-scale variant: plain [n, k] int8 + rank-1 affine
         n, k = 64, 1024
         w = jax.random.normal(jax.random.PRNGKey(65), (n, k)) * 0.05
         qt = lin.quantize_tensor(w, "any4q8r", kmeans_iters=8)
-        assert qt.fmt == "any4q8r" and qt.packed.shape == (n, k)
+        assert qt.fmt == "any4q8r" and qt.packed.shape == (k, n)
         assert qt.packed.dtype == jnp.int8 and qt.scales.shape == (1, n)
         # whole-row any4 is coarser than g=128 but must stay sane: the
         # LUT-snapped reconstruction tracks the weight
@@ -898,7 +924,7 @@ class TestAny4Q8:
         w = jax.random.normal(jax.random.PRNGKey(67), (n, k)) * 0.05
         for fmt in ("w8a8r", "int8r"):
             qt = lin.quantize_tensor(w, fmt)
-            assert qt.packed.shape == (n, k) and qt.scales.shape == (1, n)
+            assert qt.packed.shape == (k, n) and qt.scales.shape == (1, n)
             wd = np.asarray(lin.dequantize_tensor(qt, jnp.float32))
             x = jax.random.normal(jax.random.PRNGKey(68), (2, k))
             y = lin.linear(x, qt)

@@ -260,7 +260,7 @@ class TestW4A8TP:
                                    np.asarray(ref, np.float32),
                                    atol=8e-2, rtol=8e-2)
 
-    @pytest.mark.parametrize("fmt", ["w8a8", "w8a8r", "any4q8r"])
+    @pytest.mark.parametrize("fmt", ["w8a8g", "w8a8r", "any4q8r"])
     def test_quantized_tp_matches_single_xla_fmts(self, tiny, fmt):
         """Round-5 XLA-dot formats under full TP: the grouped layout
         shards n on packed axis 1 / k on axis 0; the per-row-scale
@@ -276,9 +276,7 @@ class TestW4A8TP:
         kw = dict(kmeans_iters=4) if fmt == "any4q8r" else {}
         qparams = api.quantize_model(params, fmt=fmt, group_size=128,
                                      row_parallel_shards=4, **kw)
-        want = {"w8a8": "w8a8g", "w8a8r": "w8a8r",
-                "any4q8r": "any4q8r"}[fmt]
-        assert qparams["layers"][0]["q_proj"].fmt == want
+        assert qparams["layers"][0]["q_proj"].fmt == fmt
         mesh = tp.make_mesh(dp=2, tp=4)
         sharded, specs = tp.shard_params(qparams, mesh)
         fwd = tp.make_tp_forward(cfg, mesh, specs)
