@@ -391,6 +391,22 @@ def main():
             pass
     if dec8:
         out["e2e_decode_8b"] = dec8
+    dec3 = {}
+    for fmt in ("any4q8r", "w4a8"):
+        try:
+            with open(f"benchmarks/bench_decode_3b_{fmt}_r5.log") as f:
+                for ln in f:
+                    if ln.startswith("{"):
+                        rec = json.loads(ln)
+                        dec3[fmt] = {
+                            "tok_s": rec.get(f"{fmt}_tok_s"),
+                            "bf16_tok_s": rec.get("bf16_tok_s"),
+                            "speedup": rec.get("speedup"),
+                            "pct_of_roofline": rec.get("pct_of_roofline")}
+        except (OSError, json.JSONDecodeError):
+            pass
+    if dec3:
+        out["e2e_decode_3b"] = dec3
     # north-star ENGINE artifact: bf16 vs quantized serving throughput
     # alternated IN ONE PROCESS (tools/bench_engine_ab.py -- regime-
     # robust; the adjacent-window runs it superseded are kept as

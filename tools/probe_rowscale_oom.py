@@ -23,18 +23,24 @@ K, N = 4096, 14336          # 58.7 MB int8 per layer
 ACT_QMAX = 127.0
 
 
+def _rand_int8(key, shape):
+    # native uint8 bits -> int8: randint(int32) would materialize a 4x
+    # transient during GENERATION (which is what the first version of
+    # this probe actually measured)
+    bits = jax.random.bits(key, shape, jnp.uint8)
+    return jax.lax.bitcast_convert_type(bits, jnp.int8)
+
+
 def run_scan(L, kind):
     key = jax.random.PRNGKey(0)
     if kind == "rowscale":
-        w = jax.random.randint(key, (L, K, N), -127, 127,
-                               jnp.int32).astype(jnp.int8)
+        w = _rand_int8(key, (L, K, N))
     elif kind in ("grouped", "grouped_barrier"):
         # [L, G, n, 128] int8 batched-dot layout
-        w = jax.random.randint(key, (L, K // 128, N, 128), -127, 127,
-                               jnp.int32).astype(jnp.int8)
+        w = _rand_int8(key, (L, K // 128, N, 128))
     else:                    # int32 control: same BYTES as rowscale/4 elems
-        w = jax.random.randint(key, (L, K, N // 4), -2**31, 2**31 - 1,
-                               jnp.int32)
+        w = jax.random.bits(key, (L, K, N // 4), jnp.uint32) \
+            .astype(jnp.int32)
     s = jnp.ones((L, 1, N), jnp.float32) * 1e-3
     x = jax.random.normal(key, (1, K)).astype(jnp.bfloat16)
     jax.block_until_ready(w)
